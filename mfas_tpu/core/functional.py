@@ -1,0 +1,213 @@
+"""Low-level functional ops (XLA-native equivalents of the torch ops the
+reference uses). All take/return jnp arrays in torch's NCHW/NCDHW layouts so
+parameter trees stay state_dict-compatible; XLA's TPU layout assignment
+re-tiles internally."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def _triple(v):
+    return (v, v, v) if isinstance(v, int) else tuple(v)
+
+
+# --------------------------------------------------------------------------
+# convolutions
+# --------------------------------------------------------------------------
+def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
+    """x: (N,C,H,W), w: (O,I/groups,kh,kw) — torch Conv2d semantics."""
+    stride, dilation = _pair(stride), _pair(dilation)
+    padding = [(p, p) for p in _pair(padding)]
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1)
+    return out
+
+
+def conv3d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
+    """x: (N,C,D,H,W), w: (O,I/groups,kd,kh,kw) — torch Conv3d semantics."""
+    stride, dilation = _triple(stride), _triple(dilation)
+    padding = [(p, p) for p in _triple(padding)]
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        feature_group_count=groups,
+    )
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1, 1)
+    return out
+
+
+def conv1d(x, w, b=None, stride=1, padding=0):
+    """x: (N,C,L), w: (O,I,k) — torch Conv1d semantics."""
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    if b is not None:
+        out = out + b.reshape(1, -1, 1)
+    return out
+
+
+def linear(x, w, b=None):
+    """x: (..., in), w: (out, in) — torch Linear semantics."""
+    out = jnp.matmul(x, w.T)
+    if b is not None:
+        out = out + b
+    return out
+
+
+# --------------------------------------------------------------------------
+# pooling
+# --------------------------------------------------------------------------
+def max_pool2d(x, kernel_size, stride=None, padding=0):
+    k = _pair(kernel_size)
+    s = _pair(stride) if stride is not None else k
+    p = _pair(padding)
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, 1) + k,
+        window_strides=(1, 1) + s,
+        padding=((0, 0), (0, 0)) + tuple((pp, pp) for pp in p),
+    )
+
+
+def avg_pool2d(x, kernel_size, stride=None, padding=0, count_include_pad=True):
+    k = _pair(kernel_size)
+    s = _pair(stride) if stride is not None else k
+    p = _pair(padding)
+    summed = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1) + k,
+        window_strides=(1, 1) + s,
+        padding=((0, 0), (0, 0)) + tuple((pp, pp) for pp in p),
+    )
+    if count_include_pad or all(pp == 0 for pp in p):
+        return summed / (k[0] * k[1])
+    counts = lax.reduce_window(
+        jnp.ones_like(x),
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1) + k,
+        window_strides=(1, 1) + s,
+        padding=((0, 0), (0, 0)) + tuple((pp, pp) for pp in p),
+    )
+    return summed / counts
+
+
+def avg_pool3d(x, kernel_size, stride=None, padding=0):
+    k = _triple(kernel_size)
+    s = _triple(stride) if stride is not None else k
+    p = _triple(padding)
+    summed = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(1, 1) + k,
+        window_strides=(1, 1) + s,
+        padding=((0, 0), (0, 0)) + tuple((pp, pp) for pp in p),
+    )
+    return summed / (k[0] * k[1] * k[2])
+
+
+def adaptive_avg_pool2d_1x1(x):
+    """AdaptiveAvgPool2d((1,1)) on (N,C,H,W)."""
+    return jnp.mean(x, axis=(2, 3), keepdims=True)
+
+
+def global_avg_pool2d(x):
+    """Reference GlobalPooling2D (models/auxiliary/aux_models.py:54-64):
+    mean over everything after the channel dim; identity on (N,C)."""
+    n, c = x.shape[0], x.shape[1]
+    return jnp.mean(x.reshape(n, c, -1), axis=2)
+
+
+def global_avg_pool1d(x):
+    """Reference GlobalPooling1D: mean over axis 2."""
+    return jnp.mean(x, axis=2)
+
+
+# --------------------------------------------------------------------------
+# resampling
+# --------------------------------------------------------------------------
+def interpolate_bilinear(x, size):
+    """torch F.interpolate(..., mode='bilinear', align_corners=False) on
+    (N,C,H,W) -> (N,C,*size). Half-pixel centers, no antialias."""
+    n, c = x.shape[0], x.shape[1]
+    return jax.image.resize(x, (n, c) + tuple(size), method="linear", antialias=False)
+
+
+# --------------------------------------------------------------------------
+# randomness
+# --------------------------------------------------------------------------
+def dropout(x, p, key):
+    """torch Dropout train mode: zero with prob p, scale kept by 1/(1-p)."""
+    if p <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0)
+
+
+def dropout2d(x, p, key):
+    """torch Dropout2d train mode: zero whole channels (axis 1) on rank>=3
+    inputs; element-wise on rank<=2 (feature_dropout fallback)."""
+    if p <= 0.0:
+        return x
+    if x.ndim <= 2:
+        return dropout(x, p, key)
+    mask_shape = x.shape[:2] + (1,) * (x.ndim - 2)
+    keep = jax.random.bernoulli(key, 1.0 - p, mask_shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0)
+
+
+# --------------------------------------------------------------------------
+# losses / metrics
+# --------------------------------------------------------------------------
+def cross_entropy(logits, labels, weights=None):
+    """torch CrossEntropyLoss (mean reduction); ``weights`` is an optional
+    per-sample 0/1 mask for padded batches (mean over valid samples)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if weights is None:
+        return jnp.mean(nll)
+    return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
+def weighted_bce_with_logits(logits, targets, pos_weight):
+    """Reference WeightedCrossEntropyWithLogits
+    (models/auxiliary/aux_models.py:129-147):
+    mean( w*z*-log(sigmoid(x)) + (1-z)*-log(1-sigmoid(x)) )."""
+    x = jax.nn.sigmoid(logits)
+    z = targets
+    L = pos_weight * z * -jnp.log(x) + (1.0 - z) * -jnp.log(1.0 - x)
+    return jnp.mean(L)
+
+
+def mse(pred, target):
+    return jnp.mean((pred - target) ** 2)

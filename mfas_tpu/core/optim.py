@@ -1,0 +1,55 @@
+"""Adam with torch semantics (coupled L2 weight decay added to the gradient,
+bias-corrected moments), operating on nested-dict param trees.
+
+The learning rate is a per-step *traced scalar* so the reference's per-batch
+cosine-restart schedule (host-side, mfas_tpu.core.sched) feeds straight into
+one compiled update (reference op.Adam + LRCosineAnnealingScheduler.
+update_optimizer, models/auxiliary/scheduler.py:42-46)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _tmap(f, *trees, **kwargs):
+    return jax.tree_util.tree_map(f, *trees, **kwargs)
+
+
+def adam_init(params):
+    """params: tree of trainable leaves (None for frozen slots)."""
+    zeros = _tmap(lambda p: None if p is None else jnp.zeros_like(p), params)
+    return {
+        "m": zeros,
+        "v": _tmap(lambda p: None if p is None else jnp.zeros_like(p), params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
+                weight_decay=0.0):
+    """One torch-Adam step. Returns (new_params, new_state)."""
+    b1, b2 = betas
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+
+    def upd(p, g, m, v):
+        if p is None:
+            return None, None, None
+        if weight_decay:
+            g = g + weight_decay * p
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        mhat = m / bc1
+        vhat = v / bc2
+        p = p - lr * mhat / (jnp.sqrt(vhat) + eps)
+        return p, m, v
+
+    flat = _tmap(upd, params, grads, state["m"], state["v"])
+    # unzip the 3-tuples back into trees
+    new_p = _tmap(lambda t3: t3[0], flat, is_leaf=lambda x: isinstance(x, tuple))
+    new_m = _tmap(lambda t3: t3[1], flat, is_leaf=lambda x: isinstance(x, tuple))
+    new_v = _tmap(lambda t3: t3[2], flat, is_leaf=lambda x: isinstance(x, tuple))
+    return new_p, {"m": new_m, "v": new_v, "step": step}

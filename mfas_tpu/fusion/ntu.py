@@ -1,0 +1,78 @@
+"""NTU searchable fusion net and its search space.
+
+Behavioral spec from reference models/search/ntu_searchable.py:
+  * Searchable_Skeleton_Image_Net (:178-301): frozen Visual + Skeleton
+    backbones expose taps; ske taps = last 4 hidden maps with channel sizes
+    [128, 256, vid_len[1]*32, 512]; rgb taps = [fm2, fm3, fm4, pooled] with
+    sizes [512, 1024, 2048, 2048] (:288-296); GlobalPooling2D per tap,
+    optional alpha gates, progressive Linear fusion chain, final classifier.
+  * multitask forward returns (fused_logits, visual_logits, skel_logits)
+    (:244-247).
+  * central_params isolates the fusion-head parameters (:249-256).
+  * search space: 4*4*2 = 32 one-row unfoldings (:105-119). The generator
+    emits activations {0,1} only, although the net itself supports 2
+    (LeakyReLU) — a reference quirk preserved deliberately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mfas_tpu.core import functional as F
+from mfas_tpu.core import layers as L
+from mfas_tpu.core.module import Module
+from mfas_tpu.fusion.layers import (build_alphas, build_fusion_layers,
+                                    enumerate_layer_confs, progressive_fuse)
+from mfas_tpu.models.ntu import Skeleton, Visual
+
+
+def tap_sizes(args):
+    sizes_ske = [128, 256, args.vid_len[1] * 32, 512]
+    sizes_ims = [512, 1024, 2048, 2048]
+    return sizes_ske, sizes_ims
+
+
+class Searchable_Skeleton_Image_Net(Module):
+    def __init__(self, args, conf):
+        super().__init__()
+        self.conf = np.asarray(conf)
+        self.args = args
+
+        self.rgbnet = Visual(args)
+        self.skenet = Skeleton(args)
+
+        sizes_ske, sizes_ims = tap_sizes(args)
+        self.alphas = build_alphas(self.conf, sizes_ske, sizes_ims)
+        self.fusion_layers = build_fusion_layers(
+            self.conf, sizes_ske, sizes_ims, args.inner_representation_size,
+            args.drpt, args.batchnorm)
+        self.central_classifier = L.Linear(args.inner_representation_size,
+                                           args.num_outputs)
+
+    def central_params(self):
+        """Trainable-prefix list for frozen-backbone training (:249-256)."""
+        return ["alphas", "fusion_layers", "central_classifier"]
+
+    def apply(self, tree, ctx, tensor_tuple):
+        image, skeleton = tensor_tuple[0], tensor_tuple[1]
+        s = self.sub
+
+        vis = self.rgbnet(s(tree, "rgbnet"), ctx, image)
+        visual_logits = vis[-1]
+        visual_taps = vis[1:5]  # fm2, fm3, fm4, pooled
+
+        ske_hidden, skel_logits = self.skenet(s(tree, "skenet"), ctx, skeleton)
+        ske_taps = ske_hidden[-4:]
+
+        feats_v = [F.global_avg_pool2d(visual_taps[int(r[1])]) for r in self.conf]
+        feats_s = [F.global_avg_pool2d(ske_taps[int(r[0])]) for r in self.conf]
+
+        out = progressive_fuse(self, tree, ctx, feats_s, feats_v)
+        if not self.args.multitask:
+            return out
+        return out, visual_logits, skel_logits
+
+
+def get_possible_layer_configurations(progression_index=None):
+    """32 rows: ske in [0,4), rgb in [0,4), act in [0,2) (:105-119)."""
+    return enumerate_layer_confs(4, 4, 2)
