@@ -1,0 +1,133 @@
+"""Host-side batch loaders feeding fixed-shape device batches.
+
+XLA compiles one program per shape, so unlike the reference's torch
+DataLoader (variable last batch), every batch here is padded to the full
+batch size and carries a 0/1 validity mask; losses and accuracy counters
+are mask-weighted, which reproduces the reference's exact dataset-level
+statistics (reference divides by dataset size, e.g.
+models/search/train_searchable/ntu.py:75-76).
+
+``ArrayLoader`` serves in-memory numpy modalities (AV-MNIST style).
+``MapLoader`` wraps an indexable dataset with a background prefetch thread
+pool — the host-pipeline replacement for torch's worker processes
+(SURVEY.md §2.1); heavy per-sample decode (NTU video) additionally goes
+through the native C++ reader in mfas_tpu/data/cpp.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class ArrayLoader:
+    """Batches over parallel in-memory arrays.
+
+    arrays: dict name -> np.ndarray with equal leading dim.
+    Yields dicts of numpy arrays plus ``_mask`` (float32 0/1) and pads the
+    final batch to ``batch_size``.
+    """
+
+    def __init__(self, arrays: dict, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, indices=None):
+        self.arrays = arrays
+        first = next(iter(arrays.values()))
+        self.indices = np.arange(len(first)) if indices is None else np.asarray(indices)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    @property
+    def dataset_size(self):
+        return len(self.indices)
+
+    def __len__(self):
+        return -(-len(self.indices) // self.batch_size)
+
+    def __iter__(self):
+        idx = self.indices.copy()
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        self._epoch += 1
+        bs = self.batch_size
+        for start in range(0, len(idx), bs):
+            take = idx[start:start + bs]
+            n = len(take)
+            mask = np.zeros((bs,), np.float32)
+            mask[:n] = 1.0
+            if n < bs:  # pad by repeating the first row (masked out anyway)
+                take = np.concatenate([take, np.repeat(take[:1], bs - n)])
+            batch = {k: v[take] for k, v in self.arrays.items()}
+            batch["_mask"] = mask
+            yield batch
+
+
+class MapLoader:
+    """Indexable-dataset loader with threaded prefetch.
+
+    dataset: object with __len__ and __getitem__(i) -> dict of np arrays.
+    Samples are fetched by ``num_workers`` threads (the dataset's heavy
+    lifting — video decode, skeleton parse — releases the GIL inside cv2 /
+    the C++ reader) and collated into padded fixed-shape batches.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.num_workers = max(1, int(num_workers))
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+
+    @property
+    def dataset_size(self):
+        return len(self.dataset)
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.batch_size)
+
+    def _fetch(self, i):
+        return self.dataset[int(i)]
+
+    def __iter__(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        bs = self.batch_size
+        batches = [idx[s:s + bs] for s in range(0, len(idx), bs)]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for take in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self._fetch(i) for i in take]
+                    n = len(samples)
+                    while len(samples) < bs:
+                        samples.append(samples[0])
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    mask = np.zeros((bs,), np.float32)
+                    mask[:n] = 1.0
+                    batch["_mask"] = mask
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
