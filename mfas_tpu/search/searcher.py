@@ -1,0 +1,183 @@
+"""SMBO/EPNAS search orchestration (reference models/searchable.py:41-174).
+
+Control flow preserved exactly — including the reference's temperature
+iteration index ``si * search_iterations + progression_index``
+(models/searchable.py:132; SURVEY §2 notes search_iterations is used where
+max_progression_levels was presumably intended — kept for ranking parity).
+
+Additive over the reference: the search state (surrogate dataset, numpy RNG
+state, temperature, progress counters) can be persisted after every step so
+a crashed search resumes (SURVEY §5.3 — the reference loses everything).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+import mfas_tpu.search.tools as tools
+from mfas_tpu.search.surrogate import SimpleRecurrentSurrogate, SurrogateDataloader
+
+
+class ModelSearcher:
+    def __init__(self, args, jsonl_log=None):
+        self.args = args
+        self._jsonl = jsonl_log
+
+    def search(self):
+        raise NotImplementedError
+
+    # ----- telemetry (additive, SURVEY §5.5)
+    def _log_event(self, **event):
+        if self._jsonl:
+            with open(self._jsonl, "a") as f:
+                f.write(json.dumps(event, default=_np_default) + "\n")
+
+    # ----- checkpointing (additive, SURVEY §5.3)
+    def _save_state(self, path, s_data, temperature, si, progression_index):
+        if not path:
+            return
+        state = {
+            "surrogate_data": s_data.state(),
+            "np_random_state": np.random.get_state(),
+            "temperature": temperature,
+            "si": si,
+            "progression_index": progression_index,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, path)
+
+    def _epnas(self, model_type, surrogate_dict, dataloaders,
+               dataset_searchmethods, device=None):
+        surrogate: SimpleRecurrentSurrogate = surrogate_dict["model"]
+        s_data = SurrogateDataloader()
+
+        train_sampled_models = dataset_searchmethods["train_sampled_fun"]
+        get_possible_layer_configurations = dataset_searchmethods["get_layer_confs"]
+
+        temperature = self.args.initial_temperature
+        sampled_k_confs = []
+        shared_weights = {}
+        state_path = getattr(self.args, "search_state", None)
+
+        for si in range(self.args.search_iterations):
+            if self.args.verbose:
+                print(50 * "=")
+                print("Search iteration {}/{} ".format(si, self.args.search_iterations))
+
+            for progression_index in range(self.args.max_progression_levels):
+                if self.args.verbose:
+                    print(25 * "-")
+                    print("Progressive step {}/{} ".format(
+                        progression_index, self.args.max_progression_levels))
+
+                # 1. unfold this fusion level
+                list_possible_layer_confs = get_possible_layer_configurations(
+                    progression_index)
+
+                # 2. merge previous top-K with the unfolded rows
+                all_configurations = tools.merge_unfolded_with_sampled(
+                    sampled_k_confs, list_possible_layer_confs, progression_index)
+
+                # 3. score: train for real on the very first step, else
+                #    predict with the surrogate
+                first_step = (si + progression_index == 0)
+                if first_step:
+                    all_accuracies = train_sampled_models(
+                        all_configurations, model_type, dataloaders, self.args,
+                        device, state_dict=shared_weights)
+                    tools.update_surrogate_dataloader(
+                        s_data, all_configurations, all_accuracies)
+                    err = tools.train_surrogate(surrogate, s_data, self.args)
+                    if self.args.verbose:
+                        print("Trained architectures: ")
+                        print(list(zip(all_configurations, all_accuracies)))
+                else:
+                    all_accuracies = tools.predict_accuracies_with_surrogate(
+                        all_configurations, surrogate)
+                    if self.args.verbose:
+                        print("Predicted accuracies: ")
+                        print(list(zip(all_configurations, all_accuracies)))
+
+                # 4. temperature-sample K; train them for real when scored by
+                #    the surrogate, then refresh the surrogate
+                sampled_k_confs = tools.sample_k_configurations(
+                    all_configurations, all_accuracies,
+                    self.args.num_samples, temperature)
+                if first_step:
+                    if self.args.verbose:
+                        estimated = tools.predict_accuracies_with_surrogate(
+                            all_configurations, surrogate)
+                        diff = np.abs(np.array(estimated) - np.array(all_accuracies))
+                        print("Error on accuracies = {}".format(diff))
+                else:
+                    sampled_k_accs = train_sampled_models(
+                        sampled_k_confs, model_type, dataloaders, self.args,
+                        device, state_dict=shared_weights)
+                    tools.update_surrogate_dataloader(
+                        s_data, sampled_k_confs, sampled_k_accs)
+                    err = tools.train_surrogate(surrogate, s_data, self.args)
+                    if self.args.verbose:
+                        print("Trained architectures: ")
+                        print(list(zip(sampled_k_confs, sampled_k_accs)))
+                        print("with surrogate error: {}".format(err))
+
+                # 5. temperature decay — reference's exact iteration index
+                #    (models/searchable.py:132)
+                iteration = si * self.args.search_iterations + progression_index
+                temperature = tools.compute_temperature(iteration, self.args)
+                if self.args.verbose:
+                    print("Temperature is being set to {}".format(temperature))
+
+                self._log_event(
+                    kind="epnas_step", si=si, progression=progression_index,
+                    temperature=float(temperature),
+                    n_scored=len(all_configurations),
+                    surrogate_size=len(s_data))
+                self._save_state(state_path, s_data, temperature, si,
+                                 progression_index)
+
+        return s_data
+
+    def _randsearch(self, model_type, dataloaders, dataset_searchmethods,
+                    device=None):
+        """Uniform random baseline (reference models/searchable.py:139-174)."""
+        s_data = SurrogateDataloader()
+        train_sampled_models = dataset_searchmethods["train_sampled_fun"]
+        get_possible_layer_configurations = dataset_searchmethods["get_layer_confs"]
+        shared_weights = {}
+
+        total = self.args.search_iterations * self.args.max_progression_levels
+        for si in range(total):
+            if self.args.verbose:
+                print(50 * "=")
+                print("Random Search iteration {}/{} ".format(si, total))
+
+            sampled_k_confs = tools.sample_k_configurations_directly(
+                self.args.num_samples, self.args.max_progression_levels,
+                get_possible_layer_configurations,
+                legacy_bug=getattr(self.args, "legacy_randsearch_bug", False))
+            sampled_k_accs = train_sampled_models(
+                sampled_k_confs, model_type, dataloaders, self.args, device,
+                state_dict=shared_weights)
+            tools.update_surrogate_dataloader(s_data, sampled_k_confs,
+                                              sampled_k_accs)
+            if self.args.verbose:
+                print("Trained architectures: ")
+                print(list(zip(sampled_k_confs, sampled_k_accs)))
+            self._log_event(kind="randsearch_step", si=si,
+                            surrogate_size=len(s_data))
+        return s_data
+
+
+def _np_default(o):
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (np.integer, np.floating)):
+        return o.item()
+    raise TypeError(type(o))

@@ -1,0 +1,168 @@
+"""LSTM accuracy surrogate + its dataset (reference models/search/surrogate.py).
+
+Architecture (:15-50): per-row Linear(3->100)+Sigmoid embedding -> LSTM(100)
+-> last-step Linear(100->1)+Sigmoid. All Linear weights ~ U(-0.1, 0.1) and
+biases = 1.8 (:32-35); the LSTM keeps torch-default U(-1/sqrt(H)) init.
+
+Training (:133-157): full-batch MSE per seq-length group, Adam; the
+optimizer state persists across retrainings (the reference constructs the
+optimizer once per search, models/searchable.py:54).
+
+TPU notes: groups are padded to power-of-two batch buckets so the jitted
+(seq_len, bucket) step is compiled a handful of times per search instead of
+once per dataset size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfas_tpu.core import init as I
+from mfas_tpu.core.module import Ctx, Module, Rng, Sequential
+from mfas_tpu.core.layers import Linear, Sigmoid
+from mfas_tpu.core.optim import adam_init, adam_update
+from mfas_tpu.core.rnn import LSTM
+
+_U01 = I.uniform(-0.1, 0.1)
+_B18 = I.constant(1.8)
+
+
+class _SurrogateNet(Module):
+    def __init__(self, num_hidden, number_input_feats, size_embedding):
+        super().__init__()
+        self.embedding = Sequential(
+            Linear(number_input_feats, size_embedding, weight_init=_U01,
+                   bias_init=_B18),
+            Sigmoid())
+        self.lstm = LSTM(size_embedding, num_hidden)
+        self.hid2val = Linear(num_hidden, 1, weight_init=_U01, bias_init=_B18)
+
+    def apply(self, tree, ctx, seq):
+        """seq: (L, B, feats) float -> (B, 1) in (0,1)."""
+        embeds = self.embedding(self.sub(tree, "embedding"), ctx, seq)
+        outs, _ = self.lstm(self.sub(tree, "lstm"), ctx, embeds)
+        val = self.hid2val(self.sub(tree, "hid2val"), ctx, outs[-1])
+        return jax.nn.sigmoid(val)
+
+
+def _bucket(n):
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class SimpleRecurrentSurrogate:
+    """Stateful wrapper: params + persistent Adam state + jitted steps."""
+
+    def __init__(self, num_hidden=100, number_input_feats=3,
+                 size_ebedding=100, seed=0):
+        self.net = _SurrogateNet(num_hidden, number_input_feats, size_ebedding)
+        self.params = self.net.init(seed)
+        self.opt_state = None
+        self._predict = jax.jit(
+            lambda params, seq: self.net.apply(params, Ctx(), seq))
+        self._step = jax.jit(self._step_impl)
+
+    # ---------------- inference
+    def eval_model(self, sequence_of_operations_np, device=None):
+        """conf (L, feats) int array -> scalar predicted accuracy
+        (reference surrogate.py:52-60)."""
+        seq = np.asarray(sequence_of_operations_np, np.float32)[:, None, :]
+        return float(self._predict(self.params, jnp.asarray(seq))[0, 0])
+
+    # ---------------- training
+    def _step_impl(self, params, opt_state, seq, target, mask, lr):
+        def loss_fn(p):
+            pred = self.net.apply(p, Ctx(), seq)
+            sq = jnp.square(pred - target)[:, 0] * mask
+            return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(params, grads, opt_state, lr)
+        return params, opt_state, loss
+
+    def fit(self, dataset_conf, dataset_acc, num_epochs, lr):
+        """dataset_conf: list of (L, N, feats) arrays grouped by seq length;
+        dataset_acc: list of (N, 1). Returns the last batch loss
+        (reference surrogate.py:133-157)."""
+        if self.opt_state is None:
+            self.opt_state = adam_init(self.params)
+
+        padded = []
+        for conf, acc in zip(dataset_conf, dataset_acc):
+            L, N, F_ = conf.shape
+            B = _bucket(N)
+            seq = np.zeros((L, B, F_), np.float32)
+            seq[:, :N] = conf
+            tgt = np.zeros((B, 1), np.float32)
+            tgt[:N] = acc
+            mask = np.zeros((B,), np.float32)
+            mask[:N] = 1.0
+            padded.append((jnp.asarray(seq), jnp.asarray(tgt), jnp.asarray(mask)))
+
+        loss = 0.0
+        lr = jnp.float32(lr)
+        for _ in range(num_epochs):
+            for seq, tgt, mask in padded:
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state, seq, tgt, mask, lr)
+        return float(loss)
+
+
+class SurrogateDataloader:
+    """(conf, acc) store keyed by seq_len then conf bytes; duplicate confs
+    keep the max accuracy (reference surrogate.py:64-129)."""
+
+    def __init__(self):
+        self._dict_data = {}
+
+    def add_datum(self, datum_conf, datum_acc):
+        conf = np.ascontiguousarray(np.asarray(datum_conf))
+        seq_len = len(conf)
+        h = conf.tobytes()
+        group = self._dict_data.setdefault(seq_len, {})
+        if h in group:
+            group[h] = (conf, max(datum_acc, group[h][1]))
+        else:
+            group[h] = (conf, datum_acc)
+
+    def __len__(self):
+        return sum(len(g) for g in self._dict_data.values())
+
+    def get_data(self, to_torch=False):
+        """-> (list of (L, N, feats) float32, list of (N, 1) float32)."""
+        dataset_conf, dataset_acc = [], []
+        for _, group in self._dict_data.items():
+            confs = np.asarray([d[0] for d in group.values()], np.float32)
+            accs = np.asarray([d[1] for d in group.values()], np.float32)
+            dataset_conf.append(np.transpose(confs, (1, 0, 2)))
+            dataset_acc.append(accs[:, None])
+        return dataset_conf, dataset_acc
+
+    def get_k_best(self, k):
+        """Top-k via argpartition (reference surrogate.py:113-129)."""
+        confs, accs = [], []
+        for _, group in self._dict_data.items():
+            for conf, acc in group.values():
+                confs.append(conf)
+                accs.append(acc)
+        accs = np.array(accs)
+        top = np.argpartition(accs, -k)[-k:]
+        return [confs[i] for i in top], [accs[i] for i in top], top
+
+    # ---- persistence (additive; SURVEY §5.3 resumable search)
+    def state(self):
+        return [(int(L), [(c.tolist(), float(a)) for c, a in g.values()])
+                for L, g in self._dict_data.items()]
+
+    @classmethod
+    def from_state(cls, state):
+        self = cls()
+        for _, entries in state:
+            for conf, acc in entries:
+                self.add_datum(np.asarray(conf), acc)
+        return self
