@@ -69,3 +69,19 @@ class Searchable_Audio_Image_Net(Module):
 def get_possible_layer_configurations(progression_index=None):
     """30 rows: audio in [0,5), image in [0,3), act in [0,2) (:111-125)."""
     return enumerate_layer_confs(5, 3, 2)
+
+
+class AVMnistFeatureExtractor(Module):
+    """Frozen-backbone tap extractor for the population trainer: returns
+    (audio taps, image taps, image logits, audio logits), all pooled."""
+
+    def __init__(self, args):
+        super().__init__()
+        self.rgbnet = GP_LeNet(args, 1)
+        self.audnet = GP_LeNet_Deeper(args, 1)
+
+    def apply(self, tree, ctx, inputs):
+        image, sound = inputs
+        img = self.rgbnet(self.sub(tree, "rgbnet"), ctx, image)
+        aud = self.audnet(self.sub(tree, "audnet"), ctx, sound)
+        return list(aud[1:]), list(img[1:]), img[0], aud[0]

@@ -76,3 +76,23 @@ class Searchable_Skeleton_Image_Net(Module):
 def get_possible_layer_configurations(progression_index=None):
     """32 rows: ske in [0,4), rgb in [0,4), act in [0,2) (:105-119)."""
     return enumerate_layer_confs(4, 4, 2)
+
+
+class NTUFeatureExtractor(Module):
+    """Frozen-backbone tap extractor for the population trainer: returns
+    (ske taps, rgb taps, rgb logits, ske logits) with GlobalPooling2D
+    applied — the expensive Visual/Skeleton forward runs ONCE per batch for
+    the whole candidate population."""
+
+    def __init__(self, args):
+        super().__init__()
+        self.rgbnet = Visual(args)
+        self.skenet = Skeleton(args)
+
+    def apply(self, tree, ctx, inputs):
+        image, skeleton = inputs
+        vis = self.rgbnet(self.sub(tree, "rgbnet"), ctx, image)
+        ske_hidden, skel_logits = self.skenet(self.sub(tree, "skenet"), ctx, skeleton)
+        taps_v = [F.global_avg_pool2d(t) for t in vis[1:5]]
+        taps_s = [F.global_avg_pool2d(t) for t in ske_hidden[-4:]]
+        return taps_s, taps_v, vis[-1], skel_logits

@@ -1,0 +1,318 @@
+"""Population-parallel candidate training — the TPU-native replacement for
+the reference's sequential per-candidate loop (SURVEY.md §2.2: "the headline
+TPU feature"; reference models/search/ntu_searchable.py:38-102 trains ~197
+candidates one by one, re-running the frozen backbones for every one).
+
+Key observations making this sound:
+  * during search only ``central_params()`` train — both backbones are
+    frozen (ntu_searchable.py:59-62), so backbone features per batch can be
+    computed ONCE and shared by every candidate;
+  * candidates are independent — a *population* axis with zero
+    communication, mapped with ``vmap`` (single chip) and shardable over a
+    mesh ``pop`` axis (multi chip).
+
+Heterogeneous fusion shapes (SURVEY §7.3 hard part 1) are handled by
+padding: every tap is zero-padded to the widest tap of its modality, every
+candidate's per-row Linear is embedded in a (hidden, Cmax_a+Cmax_b+hidden)
+matrix whose padding columns only ever multiply zeros, and confs shorter
+than ``max_rows`` carry the previous row's output through masked rows.
+Per-row initialization uses the candidate's TRUE fan-in so each padded
+layer is distributionally identical to the reference's
+``nn.Linear(in_size, hidden)``.
+
+The entire population's forward+backward+Adam is ONE jitted XLA program;
+conf index tensors are traced arguments, so every search step with the same
+population size reuses the same compilation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfas_tpu.core import functional as F
+from mfas_tpu.core.module import Ctx, Rng
+from mfas_tpu.core.optim import adam_init, adam_update
+
+
+@dataclass
+class PopulationSpec:
+    sizes_a: tuple          # tap widths, modality A (ske / audio)
+    sizes_b: tuple          # tap widths, modality B (rgb / image)
+    hidden: int
+    num_outputs: int
+    max_rows: int
+    batchnorm: bool = False
+    drpt: float = 0.0
+    use_alphas: bool = False
+    multitask: bool = False
+    weight_decay: float = 1e-4
+
+    @property
+    def cmax_a(self):
+        return max(self.sizes_a)
+
+    @property
+    def cmax_b(self):
+        return max(self.sizes_b)
+
+    @property
+    def in_max(self):
+        return self.cmax_a + self.cmax_b + self.hidden
+
+
+# --------------------------------------------------------------------------
+# conf encoding / parameter init
+# --------------------------------------------------------------------------
+def encode_confs(confs, spec: PopulationSpec):
+    """List of (L_i, 3) int confs -> dict of (P, R) arrays + row mask."""
+    P, R = len(confs), spec.max_rows
+    sel_a = np.zeros((P, R), np.int32)
+    sel_b = np.zeros((P, R), np.int32)
+    act = np.zeros((P, R), np.int32)
+    row_mask = np.zeros((P, R), np.float32)
+    for p, conf in enumerate(confs):
+        conf = np.asarray(conf)
+        L = len(conf)
+        sel_a[p, :L] = conf[:, 0]
+        sel_b[p, :L] = conf[:, 1]
+        act[p, :L] = conf[:, 2]
+        row_mask[p, :L] = 1.0
+    return {"sel_a": sel_a, "sel_b": sel_b, "act": act, "row_mask": row_mask}
+
+
+def init_population(confs, spec: PopulationSpec, seed=0):
+    """Stacked fusion-head params with per-candidate true-fan-in init."""
+    P, R = len(confs), spec.max_rows
+    rs = np.random.RandomState(seed)
+    H, In = spec.hidden, spec.in_max
+    ca, cb = spec.cmax_a, spec.cmax_b
+
+    W = np.zeros((P, R, H, In), np.float32)
+    b = np.zeros((P, R, H), np.float32)
+    alpha = np.zeros((P, R), np.float32)
+    cls_w = np.zeros((P, spec.num_outputs, H), np.float32)
+    cls_b = np.zeros((P, spec.num_outputs), np.float32)
+
+    for p, conf in enumerate(confs):
+        conf = np.asarray(conf)
+        for r in range(len(conf)):
+            na = spec.sizes_a[int(conf[r, 0])]
+            nb = spec.sizes_b[int(conf[r, 1])]
+            fan_in = na + nb + (H if r > 0 else 0)
+            bound = 1.0 / math.sqrt(fan_in)
+            W[p, r, :, :na] = rs.uniform(-bound, bound, (H, na))
+            W[p, r, :, ca:ca + nb] = rs.uniform(-bound, bound, (H, nb))
+            if r > 0:
+                W[p, r, :, ca + cb:] = rs.uniform(-bound, bound, (H, H))
+            b[p, r] = rs.uniform(-bound, bound, H)
+        if spec.use_alphas:
+            alpha[p, :len(conf)] = rs.normal(0.0, 0.1, len(conf))
+        cb_bound = 1.0 / math.sqrt(H)
+        cls_w[p] = rs.uniform(-cb_bound, cb_bound, (spec.num_outputs, H))
+        cls_b[p] = rs.uniform(-cb_bound, cb_bound, spec.num_outputs)
+
+    params = {"W": jnp.asarray(W), "b": jnp.asarray(b),
+              "cls_w": jnp.asarray(cls_w), "cls_b": jnp.asarray(cls_b)}
+    if spec.use_alphas:
+        params["alpha"] = jnp.asarray(alpha)
+    if spec.batchnorm:
+        params["bn_scale"] = jnp.ones((P, R, H), jnp.float32)
+        params["bn_bias"] = jnp.zeros((P, R, H), jnp.float32)
+    bn_state = {"mean": jnp.zeros((P, R, H), jnp.float32),
+                "var": jnp.ones((P, R, H), jnp.float32)}
+    return params, bn_state
+
+
+def pad_taps(taps, cmax):
+    """List of (B, C_i) pooled taps -> (B, n_taps, cmax), zero padded."""
+    padded = [jnp.pad(t, ((0, 0), (0, cmax - t.shape[1]))) for t in taps]
+    return jnp.stack(padded, axis=1)
+
+
+# --------------------------------------------------------------------------
+# per-candidate forward (vmapped over the population axis)
+# --------------------------------------------------------------------------
+def _candidate_forward(spec, params_c, bn_c, conf_c, feats_a, feats_b,
+                       train, rng_c):
+    """One candidate's fusion head over shared padded taps.
+    feats_a: (B, n_taps_a, cmax_a); returns (logits, new_bn_state)."""
+    B = feats_a.shape[0]
+    H = spec.hidden
+    out = jnp.zeros((B, H), feats_a.dtype)
+    new_mean, new_var = [], []
+
+    for r in range(spec.max_rows):
+        fa = jnp.take(feats_a, conf_c["sel_a"][r], axis=1)
+        fb = jnp.take(feats_b, conf_c["sel_b"][r], axis=1)
+        if spec.use_alphas:
+            g = jax.nn.sigmoid(params_c["alpha"][r])
+            fa, fb = fa * g, fb * (1.0 - g)
+        prev = out if r > 0 else jnp.zeros((B, H), feats_a.dtype)
+        x = jnp.concatenate([fa, fb, prev], axis=1)
+        h = x @ params_c["W"][r].T + params_c["b"][r]
+
+        a = conf_c["act"][r]
+        h = jnp.where(a == 0, jax.nn.relu(h),
+                      jnp.where(a == 1, jax.nn.sigmoid(h),
+                                jax.nn.leaky_relu(h, 0.01)))
+
+        if spec.batchnorm:
+            if train:
+                mean = jnp.mean(h, axis=0)
+                var = jnp.mean(jnp.square(h), axis=0) - jnp.square(mean)
+                n = h.shape[0]
+                unbiased = var * (n / max(n - 1, 1))
+                new_mean.append(0.9 * bn_c["mean"][r] + 0.1 * mean)
+                new_var.append(0.9 * bn_c["var"][r] + 0.1 * unbiased)
+            else:
+                mean, var = bn_c["mean"][r], bn_c["var"][r]
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-5)
+            h = h * params_c["bn_scale"][r] + params_c["bn_bias"][r]
+
+        if spec.drpt > 1e-10 and train:
+            rng_c, sub = jax.random.split(rng_c)
+            h = F.dropout(h, spec.drpt, sub)
+
+        m = conf_c["row_mask"][r]
+        out = m * h + (1.0 - m) * out
+
+    logits = out @ params_c["cls_w"].T + params_c["cls_b"]
+    if spec.batchnorm and train:
+        new_bn = {"mean": jnp.stack(new_mean), "var": jnp.stack(new_var)}
+    else:
+        new_bn = bn_c
+    return logits, new_bn
+
+
+# --------------------------------------------------------------------------
+# trainer
+# --------------------------------------------------------------------------
+class PopulationTrainer:
+    """Trains a whole population of fusion heads in one compiled step.
+
+    feature_fn(backbone_tree, inputs, rng, train) must return
+      (taps_a list, taps_b list, logits_b, logits_a)
+    with every tap already globally pooled to (B, C_i).
+    """
+
+    def __init__(self, spec: PopulationSpec, feature_extractor,
+                 backbone_tree, mesh=None):
+        self.spec = spec
+        self.extractor = feature_extractor
+        self.backbone_tree = backbone_tree
+        self.mesh = mesh
+
+        self._features = jax.jit(self._features_impl, static_argnames=("train",))
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ----- backbone feature cache (shared across all candidates)
+    def _features_impl(self, backbone_tree, inputs, rng, train):
+        ctx = Ctx(train=train, rng=Rng(rng))
+        taps_a, taps_b, logits_b, logits_a = self.extractor(
+            backbone_tree, ctx, inputs)
+        fa = pad_taps(taps_a, self.spec.cmax_a)
+        fb = pad_taps(taps_b, self.spec.cmax_b)
+        return fa, fb, logits_b, logits_a
+
+    # ----- population step
+    def _losses(self, params, bn_state, conf, fa, fb, logits_b, logits_a,
+                label, wmask, train, rngs):
+        spec = self.spec
+
+        def fwd(params_c, bn_c, conf_c, rng_c):
+            return _candidate_forward(spec, params_c, bn_c, conf_c,
+                                      fa, fb, train, rng_c)
+
+        logits, new_bn = jax.vmap(fwd, in_axes=(0, 0, 0, 0))(
+            params, bn_state, conf, rngs)      # (P, B, O)
+
+        def per_cand(lg):
+            loss = F.cross_entropy(lg, label, wmask)
+            summed = lg
+            if spec.multitask:
+                loss = loss + F.cross_entropy(logits_b, label, wmask) \
+                            + F.cross_entropy(logits_a, label, wmask)
+                summed = lg + logits_b + logits_a
+            preds = jnp.argmax(summed, axis=1)
+            corrects = jnp.sum((preds == label) * wmask)
+            return loss, corrects
+
+        loss_c, corr_c = jax.vmap(per_cand)(logits)
+        return loss_c, corr_c, new_bn
+
+    def _train_step_impl(self, params, bn_state, opt_state, conf,
+                         fa, fb, logits_b, logits_a, label, wmask, lr, rng):
+        P = conf["sel_a"].shape[0]
+        rngs = jax.random.split(rng, P)
+
+        def total_loss(params):
+            loss_c, corr_c, new_bn = self._losses(
+                params, bn_state, conf, fa, fb, logits_b, logits_a,
+                label, wmask, True, rngs)
+            return jnp.sum(loss_c), (loss_c, corr_c, new_bn)
+
+        (_, (loss_c, corr_c, new_bn)), grads = jax.value_and_grad(
+            total_loss, has_aux=True)(params)
+        params, opt_state = adam_update(params, grads, opt_state, lr,
+                                        weight_decay=self.spec.weight_decay)
+        return params, new_bn, opt_state, loss_c, corr_c
+
+    def _eval_step_impl(self, params, bn_state, conf,
+                        fa, fb, logits_b, logits_a, label, wmask):
+        P = conf["sel_a"].shape[0]
+        rngs = jax.random.split(jax.random.PRNGKey(0), P)
+        loss_c, corr_c, _ = self._losses(params, bn_state, conf, fa, fb,
+                                         logits_b, logits_a, label, wmask,
+                                         False, rngs)
+        return loss_c, corr_c
+
+    # ----- host loop
+    def train_population(self, confs, dataloaders, dataset_sizes, scheduler,
+                         num_epochs, input_keys, label_key="label", seed=0,
+                         verbose=False):
+        """Returns per-candidate best dev accuracy (reference
+        train_sampled_models contract: list of floats)."""
+        spec = self.spec
+        conf = {k: jnp.asarray(v) for k, v in encode_confs(confs, spec).items()}
+        params, bn_state = init_population(confs, spec, seed)
+        opt_state = adam_init(params)
+        rng = Rng(seed + 1)
+        P = len(confs)
+
+        best = np.zeros((P,))
+        for epoch in range(num_epochs):
+            for phase in ("train", "dev"):
+                corrects = np.zeros((P,))
+                for batch in dataloaders[phase]:
+                    inputs = tuple(jnp.asarray(batch[k]) for k in input_keys)
+                    label = jnp.asarray(batch[label_key])
+                    wmask = jnp.asarray(batch["_mask"])
+                    fa, fb, lb, la = self._features(
+                        self.backbone_tree, inputs, rng.next(),
+                        train=(phase == "train"))
+                    if phase == "train":
+                        eta = scheduler.step()
+                        params, bn_state, opt_state, loss_c, corr_c = \
+                            self._train_step(params, bn_state, opt_state,
+                                             conf, fa, fb, lb, la, label,
+                                             wmask, jnp.float32(eta), rng.next())
+                    else:
+                        loss_c, corr_c = self._eval_step(
+                            params, bn_state, conf, fa, fb, lb, la, label, wmask)
+                    corrects += np.asarray(corr_c)
+
+                acc = corrects / dataset_sizes[phase]
+                if verbose:
+                    print("{} population acc: mean {:.4f} max {:.4f}".format(
+                        phase, acc.mean(), acc.max()))
+                if phase == "dev":
+                    best = np.maximum(best, acc)
+
+        return [float(a) for a in best], params, bn_state

@@ -1,0 +1,154 @@
+"""Candidate-evaluation adapters: the ``train_sampled_fun`` implementations
+handed to the searcher (reference models/search/{ntu,avmnist}_searchable.py
+train_sampled_models, :23-108).
+
+Two modes:
+  * ``PopulationSearchTrainer`` (default, the TPU path): all K candidates
+    train together in one vmapped step over cached frozen-backbone features
+    (mfas_tpu.search.population). Backbone FLOPs amortize K-fold; this is
+    where the >=10x search-wall-clock target comes from (BASELINE.md).
+  * ``SequentialSearchTrainer``: faithful per-candidate loop (fresh model,
+    backbone checkpoint injected, central-only Adam + cosine restarts,
+    optional weight sharing) — the correctness baseline and the
+    weight-sharing path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mfas_tpu.core.module import merge, tree_get, tree_set
+from mfas_tpu.core.sched import LRCosineAnnealingScheduler
+from mfas_tpu.engine.classifier import ClassifierEngine
+from mfas_tpu.fusion.layers import shared_weight_key
+from mfas_tpu.search.population import PopulationSpec, PopulationTrainer
+
+
+# --------------------------------------------------------------------------
+# weight sharing (reference ntu_searchable.py:123-175)
+# --------------------------------------------------------------------------
+def get_central_states(model, tree, state_dict, verbose=True):
+    """Store each fusion layer's subtree under its shape/activation key."""
+    for idx in range(len(model.fusion_layers)):
+        lin = model.fusion_layers[idx][0]
+        name = shared_weight_key(idx, lin.in_features, lin.out_features,
+                                 model.conf[idx][2])
+        if verbose:
+            if name in state_dict:
+                print("Updating shared weight with ID: {}".format(name))
+            else:
+                print("Creating shared weight with ID: {}".format(name))
+        state_dict[name] = tree["fusion_layers"][str(idx)]
+    return state_dict
+
+
+def set_central_states(model, tree, state_dict, verbose=True):
+    """Load stored fusion-layer subtrees where keys match; returns tree."""
+    for idx in range(len(model.fusion_layers)):
+        lin = model.fusion_layers[idx][0]
+        name = shared_weight_key(idx, lin.in_features, lin.out_features,
+                                 model.conf[idx][2])
+        if name in state_dict:
+            tree = tree_set(tree, f"fusion_layers.{idx}", state_dict[name])
+            if verbose:
+                print("Loaded shared weight with ID: {}".format(name))
+    return tree
+
+
+# --------------------------------------------------------------------------
+# sequential (reference-semantics) candidate trainer
+# --------------------------------------------------------------------------
+class SequentialSearchTrainer:
+    """One candidate at a time, like the reference loop
+    (ntu_searchable.py:38-102 / avmnist_searchable.py:38-108)."""
+
+    def __init__(self, backbone_trees: dict, input_keys, seed=0, mesh=None):
+        """backbone_trees: attr name -> pretrained tree, e.g.
+        {'skenet': ..., 'rgbnet': ...} — replaces the reference's per-
+        candidate torch.load of --ske_cp/--rgb_cp."""
+        self.backbone_trees = backbone_trees
+        self.input_keys = tuple(input_keys)
+        self._seed = seed
+        self.mesh = mesh
+
+    def __call__(self, sampled_configurations, searchable_type, dataloaders,
+                 args, device=None, state_dict=None):
+        state_dict = {} if state_dict is None else state_dict
+        sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
+        nbpe = sizes["train"] / args.batchsize
+
+        accs = []
+        for configuration in sampled_configurations:
+            model = searchable_type(args, configuration)
+            self._seed += 1
+            tree = model.init(self._seed)
+            for attr, btree in self.backbone_trees.items():
+                tree = tree_set(tree, attr, btree)
+            if args.weightsharing:
+                tree = set_central_states(model, tree, state_dict,
+                                          verbose=args.verbose)
+
+            if args.verbose:
+                print("Now training: ")
+                print(configuration)
+
+            engine = ClassifierEngine(model, multitask=args.multitask,
+                                      input_keys=self.input_keys,
+                                      mesh=self.mesh)
+            scheduler = LRCosineAnnealingScheduler(
+                args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
+            best_acc, best_tree = engine.train_track_acc(
+                tree, model.central_params(), dataloaders, sizes, scheduler,
+                num_epochs=args.epochs, seed=self._seed,
+                print_loss=args.verbose)
+
+            if args.weightsharing:
+                state_dict = get_central_states(model, best_tree, state_dict,
+                                                verbose=args.verbose)
+            accs.append(float(best_acc))
+        return accs
+
+
+# --------------------------------------------------------------------------
+# population (vmap) candidate trainer
+# --------------------------------------------------------------------------
+class PopulationSearchTrainer:
+    """All candidates at once over cached frozen-backbone features."""
+
+    def __init__(self, spec: PopulationSpec, extractor_module,
+                 backbone_tree, input_keys, seed=0, mesh=None,
+                 sequential_fallback=None):
+        self.spec = spec
+        self.extractor_module = extractor_module
+        self.input_keys = tuple(input_keys)
+        self._seed = seed
+        self.trainer = PopulationTrainer(
+            spec, extractor_module.apply, backbone_tree, mesh=mesh)
+        self.sequential_fallback = sequential_fallback
+
+    def __call__(self, sampled_configurations, searchable_type, dataloaders,
+                 args, device=None, state_dict=None):
+        if getattr(args, "weightsharing", False):
+            # sequential weight propagation between candidates is inherently
+            # order-dependent; route through the faithful path
+            if self.sequential_fallback is None:
+                raise ValueError("weightsharing requires a sequential fallback trainer")
+            return self.sequential_fallback(
+                sampled_configurations, searchable_type, dataloaders, args,
+                device, state_dict=state_dict)
+
+        sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
+        scheduler = LRCosineAnnealingScheduler(
+            args.eta_max, args.eta_min, args.Ti, args.Tm,
+            sizes["train"] / args.batchsize)
+        if args.verbose:
+            print("Now training population of {} candidates:".format(
+                len(sampled_configurations)))
+            for c in sampled_configurations:
+                print(np.asarray(c).tolist())
+        self._seed += 1
+        accs, _, _ = self.trainer.train_population(
+            sampled_configurations, dataloaders, sizes, scheduler,
+            num_epochs=args.epochs, input_keys=self.input_keys,
+            seed=self._seed, verbose=args.verbose)
+        return accs
