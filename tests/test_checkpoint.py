@@ -1,0 +1,124 @@
+"""PyTorch checkpoint compatibility round-trips (SURVEY.md §5.4) — torch is
+only the test oracle."""
+
+import numpy as np
+import pytest
+
+from mfas_tpu.core import flatten_tree
+from mfas_tpu.runtime import checkpoint as ckpt
+
+torch = pytest.importorskip("torch")
+
+
+def make_torch_model():
+    m = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 4, 3, padding=1),
+        torch.nn.BatchNorm2d(4),
+        torch.nn.Linear(7, 5),
+    )
+    return m
+
+
+def test_read_modern_zip_checkpoint(tmp_path):
+    m = make_torch_model()
+    path = tmp_path / "m.checkpoint"
+    torch.save(m.state_dict(), str(path))
+
+    flat = ckpt.load_state_dict(str(path))
+    sd = m.state_dict()
+    assert set(flat) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(flat[k], sd[k].numpy())
+    assert flat["1.num_batches_tracked"].dtype == np.int64
+
+
+def test_read_legacy_checkpoint(tmp_path):
+    m = make_torch_model()
+    path = tmp_path / "legacy.checkpoint"
+    torch.save(m.state_dict(), str(path), _use_new_zipfile_serialization=False)
+
+    flat = ckpt.load_state_dict(str(path))
+    sd = m.state_dict()
+    assert set(flat) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(flat[k], sd[k].numpy())
+
+
+def test_read_dataparallel_prefix_strip(tmp_path):
+    m = make_torch_model()
+    sd = {"module." + k: v for k, v in m.state_dict().items()}
+    path = tmp_path / "dp.checkpoint"
+    torch.save(sd, str(path))
+    flat = ckpt.load_state_dict(str(path))
+    assert set(flat) == set(m.state_dict())
+
+
+def test_write_readable_by_torch(tmp_path):
+    tree = {
+        "conv.weight": np.random.RandomState(0).randn(4, 3, 3, 3).astype(np.float32),
+        "bn.num_batches_tracked": np.asarray(7, np.int32),
+        "fc.bias": np.random.RandomState(1).randn(5).astype(np.float32),
+    }
+    path = tmp_path / "ours.checkpoint"
+    ckpt.save(tree, str(path))
+
+    loaded = torch.load(str(path), weights_only=False)
+    assert set(loaded) == set(tree)
+    np.testing.assert_array_equal(loaded["conv.weight"].numpy(), tree["conv.weight"])
+    assert loaded["bn.num_batches_tracked"].item() == 7
+    assert loaded["bn.num_batches_tracked"].dtype == torch.int64
+    np.testing.assert_array_equal(loaded["fc.bias"].numpy(), tree["fc.bias"])
+
+
+def test_write_read_roundtrip_no_torch(tmp_path):
+    tree = {"a.weight": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": np.asarray([True, False]),
+            "c.half": np.asarray([1.5, 2.5], np.float16)}
+    path = tmp_path / "rt.checkpoint"
+    ckpt.save(tree, str(path))
+    back = ckpt.load_state_dict(str(path))
+    for k in tree:
+        np.testing.assert_array_equal(back[k], tree[k])
+
+
+def test_backbone_tree_injection_against_torch_reference(tmp_path):
+    """A torch GP_LeNet-shaped state_dict loads into our GP_LeNet tree and
+    the forward agrees (torch as behavior oracle)."""
+    import types
+    import jax.numpy as jnp
+    from mfas_tpu.core.module import Ctx
+    from mfas_tpu.models.avmnist import GP_LeNet
+
+    class TorchGPLeNet(torch.nn.Module):
+        def __init__(self, ch=4, num_outputs=10):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(1, ch, 5, padding=2, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(ch)
+            self.conv2 = torch.nn.Conv2d(ch, 2 * ch, 3, padding=1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(2 * ch)
+            self.conv3 = torch.nn.Conv2d(2 * ch, 4 * ch, 3, padding=1, bias=False)
+            self.bn3 = torch.nn.BatchNorm2d(4 * ch)
+            self.classifier = torch.nn.Sequential(torch.nn.Linear(4 * ch, num_outputs))
+
+        def forward(self, x):
+            out1 = torch.relu(self.bn1(self.conv1(x)))
+            out = torch.nn.functional.max_pool2d(out1, 2)
+            out2 = torch.relu(self.bn2(self.conv2(out)))
+            out = torch.nn.functional.max_pool2d(out2, 2)
+            out3 = torch.relu(self.bn3(self.conv3(out)))
+            gp3 = out3.flatten(2).mean(2)
+            return self.classifier(gp3)
+
+    tm = TorchGPLeNet().eval()
+    path = tmp_path / "gp.checkpoint"
+    torch.save(tm.state_dict(), str(path))
+
+    args = types.SimpleNamespace(channels=4, num_outputs=10)
+    net = GP_LeNet(args, 1)
+    template = net.init(0)
+    tree = ckpt.tree_from_state_dict(ckpt.load_state_dict(str(path)), template)
+
+    x = np.random.RandomState(2).randn(2, 1, 28, 28).astype(np.float32)
+    ours = np.asarray(net(tree, Ctx(train=False), jnp.asarray(x))[0])
+    theirs = tm(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
