@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""MFAS search on AV-MNIST. The reference ships the AVMNISTSearcher
+(models/searchable.py:184-224) and its candidate machinery but no entry
+point (SURVEY.md §1); this CLI supplies it, modeled on main_searchable_ntu
+with the avmnist-specific flags its code consumes (args.channels,
+args.audio_cp, args.randsearch — avmnist_searchable.py:46, searchable.py:216).
+"""
+
+import argparse
+import time
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Modality optimization.')
+    parser.add_argument('--checkpointdir', type=str, help='output base dir',
+                        default='checkpoints/')
+    parser.add_argument('--datadir', type=str, help='data directory',
+                        default='data/avmnist/')
+    parser.add_argument('--audio_cp', type=str,
+                        help='Audio net checkpoint (in checkpointdir)', default='')
+    parser.add_argument('--rgb_cp', type=str,
+                        help='Image net checkpoint (in checkpointdir)', default='')
+    parser.add_argument('--num_outputs', type=int, help='output dimension',
+                        default=10)
+    parser.add_argument('--channels', type=int,
+                        help='LeNet base channel width', default=32)
+    parser.add_argument('--batchsize', type=int, help='batch size', default=128)
+    parser.add_argument('--inner_representation_size', type=int,
+                        help='output size of mixing linear layers', default=16)
+    parser.add_argument('--epochs', type=int, help='training epochs', default=3)
+    parser.add_argument('--lr_surrogate', type=float, default=0.001)
+    parser.add_argument('--epochs_surrogate', type=int, default=50)
+    parser.add_argument('--eta_max', type=float, help='eta max', default=0.001)
+    parser.add_argument('--eta_min', type=float, help='eta min', default=0.000001)
+    parser.add_argument('--Ti', type=int, help='epochs Ti', default=1)
+    parser.add_argument('--Tm', type=int, help='epochs multiplier Tm', default=2)
+    parser.add_argument('--use_dataparallel', action='store_true', default=False)
+    parser.add_argument('--num_workers', type=int, default=16)
+    parser.add_argument('--max_fusions', type=int, dest="max_progression_levels",
+                        default=4)
+    parser.add_argument('--search_iterations', type=int, default=3)
+    parser.add_argument('--num_samples', type=int, default=15)
+    parser.add_argument('--initial_temperature', type=float, default=10.0)
+    parser.add_argument('--final_temperature', type=float, default=0.2)
+    parser.add_argument('--temperature_decay', type=float, default=4.0)
+    parser.add_argument('--no-verbose', dest='verbose', action='store_false',
+                        default=True)
+    parser.add_argument('--weightsharing', action='store_true', default=False)
+    parser.add_argument('--alphas', action='store_true', default=False)
+    parser.add_argument('--batchnorm', action='store_true', default=False)
+    parser.add_argument('--multitask', action='store_true', default=False)
+    parser.add_argument('--randsearch', action='store_true', default=False,
+                        help='uniform random search baseline instead of EPNAS')
+    parser.add_argument("--drpt", action="store", default=0.5, dest="drpt",
+                        type=float)
+    # additive flags
+    parser.add_argument('--seed', type=int, default=None)
+    parser.add_argument('--sequential_candidates', action='store_true',
+                        default=False)
+    parser.add_argument('--random_backbones', action='store_true', default=False)
+    parser.add_argument('--search_state', type=str, default='')
+    parser.add_argument('--jsonl_log', type=str, default='')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import numpy as np
+    import jax
+    from mfas_tpu.parallel.mesh import make_mesh
+    from mfas_tpu.search.searchers import AVMNISTSearcher
+
+    if args.seed is not None:
+        np.random.seed(args.seed)
+
+    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
+        else None
+    searcher = AVMNISTSearcher(args, mesh=mesh, jsonl_log=args.jsonl_log or None)
+
+    print("MFAS for AV-MNIST Started!!!!")
+    start_time = time.time()
+    surrogate_data = searcher.search()
+    elapsed = time.time() - start_time
+    print('Search complete in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
+
+    k_best, k_accs, idx = surrogate_data.get_k_best(5)
+    print('Now listing best architectures')
+    for conf, acc in zip(k_best, k_accs):
+        print(conf.tolist(), acc)
+
+
+if __name__ == "__main__":
+    main()

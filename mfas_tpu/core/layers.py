@@ -369,24 +369,27 @@ class AlphaVectorMultiplication(Module):
         return x * jax.nn.sigmoid(tree["alpha"])
 
 
-class Scalar(Module):
-    """A bare learnable tensor (torch nn.Parameter equivalents like the
-    CentralNet alphas)."""
+class ParamList(Module):
+    """torch nn.ParameterList equivalent: leaves named '0', '1', ... so
+    state_dict keys match (e.g. 'alphas_a.0')."""
 
-    def __init__(self, shape=(1,), init=None, name="value"):
+    def __init__(self, shapes, init=None):
         super().__init__()
-        self.shape = tuple(shape)
+        self.shapes = [tuple(s) for s in shapes]
         self._init = init or I.uniform(0.0, 1.0)  # torch.rand default
-        self._name = name
 
     def create(self, rng: Rng):
-        return {self._name: self._init(rng.next(), self.shape)}
+        return {str(i): self._init(rng.next(), s)
+                for i, s in enumerate(self.shapes)}
 
     def leaf_kinds(self):
-        return {self._name: "param"}
+        return {str(i): "param" for i in range(len(self.shapes))}
 
-    def apply(self, tree, ctx):
-        return tree[self._name]
+    def __len__(self):
+        return len(self.shapes)
+
+    def apply(self, tree, ctx, i):
+        return tree[str(i)]
 
 
 class Activ(Module):

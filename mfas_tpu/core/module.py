@@ -177,11 +177,17 @@ class Module:
     def __init__(self):
         object.__setattr__(self, "_children", {})
         object.__setattr__(self, "_path", "")
+        object.__setattr__(self, "_direct_params", {})
 
     def __setattr__(self, name, value):
         if isinstance(value, Module):
             self._children[name] = value
         object.__setattr__(self, name, value)
+
+    def declare_param(self, name, shape, init):
+        """A bare learnable tensor leaf on this module (torch nn.Parameter
+        attribute equivalent — same state_dict key, no suffix)."""
+        self._direct_params[name] = (tuple(shape), init)
 
     # ----- structure
     def named_children(self):
@@ -205,11 +211,12 @@ class Module:
 
     # ----- leaves (overridden by parameterized layers)
     def create(self, rng: Rng) -> dict:
-        return {}
+        return {name: init(rng.next(), shape)
+                for name, (shape, init) in self._direct_params.items()}
 
     def leaf_kinds(self) -> dict:
         """Own leaves: name -> 'param' | 'buffer'."""
-        return {}
+        return {name: "param" for name in self._direct_params}
 
     # ----- tree building
     def init(self, rng) -> dict:

@@ -90,16 +90,20 @@ class MMIMDBLoader:
             while len(samples) < bs:
                 samples.append(samples[0])
 
-            max_len = max(s_["text"].shape[0] for s_ in samples)
-            if self.bucket_text:
-                max_len = _bucket(max_len)
-            fdim = samples[0]["text"].shape[1]
-            text = np.full((bs, max_len, fdim), TEXT_PAD_VALUE, np.float32)
-            textlen = np.zeros((bs,), np.int32)
-            for i, s_ in enumerate(samples):
-                L = s_["text"].shape[0]
-                text[i, :L] = s_["text"]
-                textlen[i] = s_["textlen"]
+            if samples[0]["text"].ndim == 1:  # average_text collapsed it
+                text = np.stack([s_["text"] for s_ in samples]).astype(np.float32)
+                textlen = np.asarray([s_["textlen"] for s_ in samples], np.int32)
+            else:
+                max_len = max(s_["text"].shape[0] for s_ in samples)
+                if self.bucket_text:
+                    max_len = _bucket(max_len)
+                fdim = samples[0]["text"].shape[1]
+                text = np.full((bs, max_len, fdim), TEXT_PAD_VALUE, np.float32)
+                textlen = np.zeros((bs,), np.int32)
+                for i, s_ in enumerate(samples):
+                    L = s_["text"].shape[0]
+                    text[i, :L] = s_["text"]
+                    textlen[i] = s_["textlen"]
 
             images = np.stack([s_["image"] for s_ in samples])
             if images.ndim == 4 and images.shape[-1] in (1, 3):

@@ -1,0 +1,130 @@
+"""MM-IMDB multi-label training engine (reference
+models/search/train_searchable/mmimdb.py:15-137).
+
+Semantics preserved: per-batch cosine scheduler before the step; dev-phase
+predictions at sigmoid > th_fscore (0.3); samples-averaged F1 selects the
+best state; NaN-loss escape returns the best-so-far F1; the one-extra-epoch
+NaN-F1 failsafe for single-epoch candidate training; NaN best-F1 collapses
+to 0.0 at the end.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfas_tpu.core import functional as F
+from mfas_tpu.core.module import Ctx, Rng, apply_updates, merge
+from mfas_tpu.core.optim import adam_init, adam_update
+from mfas_tpu.data.mm_imdb import samples_f1
+from mfas_tpu.engine.classifier import split_tree
+
+
+class MMIMDBEngine:
+    def __init__(self, model, pos_weight=2.0, weight_decay=1e-4,
+                 th_fscore=0.3):
+        self.model = model
+        self.pos_weight = pos_weight
+        self.weight_decay = weight_decay
+        self.th_fscore = th_fscore
+        self._steps = {}  # (train, text_len) -> jitted fn
+
+    def _forward(self, tree, ctx, batch):
+        out = self.model.apply(tree, ctx, batch["text"], batch["image"])
+        if isinstance(out, (tuple, list)):
+            out = out[-1]
+        return out
+
+    def _train_step_impl(self, trainable, frozen, opt_state, batch, lr, rng):
+        def loss_fn(tr):
+            tree = merge(tr, frozen)
+            ctx = Ctx(train=True, rng=Rng(rng))
+            logits = self._forward(tree, ctx, batch)
+            w = batch["_mask"][:, None]
+            per = self.pos_weight * batch["label"] * -jnp.log(jax.nn.sigmoid(logits)) \
+                + (1.0 - batch["label"]) * -jnp.log(1.0 - jax.nn.sigmoid(logits))
+            loss = jnp.sum(jnp.mean(per, axis=1) * batch["_mask"]) \
+                / jnp.maximum(jnp.sum(batch["_mask"]), 1.0)
+            return loss, ctx.updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        trainable, opt_state = adam_update(trainable, grads, opt_state, lr,
+                                           weight_decay=self.weight_decay)
+        frozen = apply_updates(frozen, updates)
+        return trainable, frozen, opt_state, loss
+
+    def _eval_step_impl(self, trainable, frozen, batch):
+        tree = merge(trainable, frozen)
+        logits = self._forward(tree, Ctx(train=False), batch)
+        return jax.nn.sigmoid(logits) > self.th_fscore
+
+    def _get_step(self, kind, text_len):
+        key = (kind, text_len)
+        if key not in self._steps:
+            fn = self._train_step_impl if kind == "train" else self._eval_step_impl
+            self._steps[key] = jax.jit(fn)
+        return self._steps[key]
+
+    def train_track_f1(self, tree, trainable_prefixes, dataloaders,
+                       dataset_sizes, scheduler, num_epochs, seed=0,
+                       verbose=False, init_f1=0.0):
+        trainable, frozen = split_tree(self.model, tree, trainable_prefixes)
+        opt_state = adam_init(trainable)
+        rng = Rng(seed)
+
+        best_f1 = init_f1
+        best = merge(trainable, frozen)
+
+        failsafe, cont_overloop = True, 0
+        while failsafe:
+            for epoch in range(num_epochs):
+                for phase in ("train", "dev"):
+                    preds_all, labels_all = [], []
+                    running_loss = 0.0
+                    for batch in dataloaders[phase]:
+                        n_valid = float(np.sum(batch["_mask"]))
+                        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                        if phase == "train":
+                            eta = scheduler.step()
+                            step = self._get_step("train", batch["text"].shape[1])
+                            trainable, frozen, opt_state, loss = step(
+                                trainable, frozen, opt_state, jb,
+                                jnp.float32(eta), rng.next())
+                            running_loss += float(loss) * n_valid
+                        else:
+                            step = self._get_step("eval", batch["text"].shape[1])
+                            pred = np.asarray(step(trainable, frozen, jb))
+                            keep = batch["_mask"] > 0
+                            preds_all.append(pred[keep])
+                            labels_all.append(batch["label"][keep])
+
+                    if phase == "train":
+                        epoch_loss = running_loss / dataset_sizes["train"]
+                        if math.isnan(epoch_loss):
+                            # NaN escape (reference :110-114)
+                            print("Nan loss during training, escaping")
+                            return best_f1 if not math.isnan(best_f1) else 0.0, best
+                    else:
+                        y_pred = np.concatenate(preds_all)
+                        y_true = np.concatenate(labels_all) > 0.5
+                        curr_f1 = samples_f1(y_true, y_pred)
+                        if verbose:
+                            print("epoch #{} {} F1: {:.4f} ".format(
+                                epoch, phase, curr_f1))
+                        if curr_f1 > best_f1:
+                            best_f1 = curr_f1
+                            best = merge(trainable, frozen)
+
+            if math.isnan(best_f1) and num_epochs == 1 and cont_overloop < 1:
+                print("Recording a NaN F1, training for one more epoch.")
+            else:
+                failsafe = False
+            cont_overloop += 1
+
+        if math.isnan(best_f1):
+            best_f1 = 0.0
+        return best_f1, best

@@ -162,11 +162,11 @@ class SimpleAV_CentralNet(Module):
         self.audio_net = GP_LeNet_Deeper(args, audio_channels)
         self.image_net = GP_LeNet(args, image_channels)
 
-        rand = I.uniform(0.0, 1.0)
+        rand = I.uniform(0.0, 1.0)  # torch.rand init (:165-174)
         for name in ("alpha1_feat1", "alpha2_feat1", "alpha3_feat1",
                      "alpha1_feat2", "alpha2_feat2", "alpha3_feat2",
                      "alpha_conv1", "alpha_conv2"):
-            setattr(self, name, L.Scalar((1,), rand))
+            self.declare_param(name, (1,), rand)
 
         self.central_conv1 = L.Conv1d(1, 1, kernel_size=3, padding=1, bias=False)
         self.central_conv2 = L.Conv1d(1, 1, kernel_size=3, padding=1, bias=False)
@@ -201,7 +201,7 @@ class SimpleAV_CentralNet(Module):
                 "31,42,53": ((a[2], v[0]), (a[3], v[1]), (a[4], v[2]))}[self.args.fusingmix]
 
         def alpha(name):
-            return getattr(self, name)(s(tree, name), ctx)
+            return tree[name]
 
         ft = self.args.fusetype
         fuse1 = fuse_features(*pick[0], alpha("alpha1_feat1"), alpha("alpha1_feat2"), ft)

@@ -222,9 +222,9 @@ class CentralNet(Module):
             L.Linear(2048, n),
         ])
         rand = I.uniform(0.0, 1.0)
-        self.alphas_a = ModuleList([L.Scalar((1,), rand) for _ in range(4)])
-        self.alphas_v = ModuleList([L.Scalar((1,), rand) for _ in range(4)])
-        self.alphas_c = ModuleList([L.Scalar((1,), rand) for _ in range(4)])
+        self.alphas_a = L.ParamList([(1,)] * 4, rand)
+        self.alphas_v = L.ParamList([(1,)] * 4, rand)
+        self.alphas_c = L.ParamList([(1,)] * 4, rand)
 
     def central_params(self):
         return ["central_conv", "alphas_a", "alphas_v", "alphas_c"]
@@ -258,9 +258,9 @@ class CentralNet(Module):
         ske_feats = [hidden[1], hidden[2], hidden[-1], skel_pred]
         ct = s(tree, "central_conv")
         for i in range(3):
-            a = jax.nn.sigmoid(self.alphas_a[i](self.sub(s(tree, "alphas_a"), i), ctx))
-            v = jax.nn.sigmoid(self.alphas_v[i](self.sub(s(tree, "alphas_v"), i), ctx))
-            c = jax.nn.sigmoid(self.alphas_c[i](self.sub(s(tree, "alphas_c"), i), ctx))
+            a = jax.nn.sigmoid(self.alphas_a(s(tree, "alphas_a"), ctx, i))
+            v = jax.nn.sigmoid(self.alphas_v(s(tree, "alphas_v"), ctx, i))
+            c = jax.nn.sigmoid(self.alphas_c(s(tree, "alphas_c"), ctx, i))
             central = self._fuse(vis_feats[i], ske_feats[i], central, v, a, c)
             central = self.central_conv[i](self.sub(ct, i), ctx, central)
         return central

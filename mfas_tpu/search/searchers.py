@@ -1,0 +1,167 @@
+"""Per-dataset searcher specializations (reference models/searchable.py:
+184-317): wire dataloaders, backbone checkpoints and the candidate trainer
+into the EPNAS loop.
+
+Candidate training defaults to the population trainer (SURVEY §2.2); pass
+``--sequential_candidates`` (args.sequential_candidates=True) for the
+faithful one-at-a-time loop (also auto-selected when weight sharing is on).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mfas_tpu.core.module import tree_set
+from mfas_tpu.data import ntu as ntu_data
+from mfas_tpu.data.avmnist import load_avmnist_arrays
+from mfas_tpu.data.loader import ArrayLoader, MapLoader
+from mfas_tpu.runtime import checkpoint as ckpt
+from mfas_tpu.search.population import PopulationSpec
+from mfas_tpu.search.searcher import ModelSearcher
+from mfas_tpu.search.surrogate import SimpleRecurrentSurrogate
+from mfas_tpu.search.trainers import (PopulationSearchTrainer,
+                                      SequentialSearchTrainer)
+from mfas_tpu.fusion import avmnist as f_avmnist
+from mfas_tpu.fusion import ntu as f_ntu
+
+
+def _load_backbone_tree(path, template, random_ok=False):
+    """Load a torch-format backbone checkpoint into a framework tree; with
+    random_ok, a missing file falls back to the (already initialized)
+    template — for smoke runs without the released checkpoints."""
+    if path and os.path.exists(path):
+        return ckpt.tree_from_state_dict(ckpt.load_state_dict(path), template)
+    if random_ok:
+        print(f"WARNING: backbone checkpoint {path!r} not found — "
+              "using random init (--random_backbones)")
+        return template
+    raise FileNotFoundError(
+        f"backbone checkpoint {path!r} not found; pass --random_backbones "
+        "to smoke-test without pretrained weights")
+
+
+class AVMNISTSearcher(ModelSearcher):
+    """Reference models/searchable.py:184-224: train[0:50000] for search
+    training, train[50000:55000] as dev."""
+
+    def __init__(self, args, device=None, mesh=None, jsonl_log=None):
+        super().__init__(args, jsonl_log=jsonl_log)
+        self.device = device
+        self.mesh = mesh
+
+        arrays = load_avmnist_arrays(args.datadir, "train")
+        n = arrays["image"].shape[0]
+        # reference split: train[0:50000] / dev[50000:55000]
+        # (models/searchable.py:199-203); scaled down for smaller datasets
+        if n >= 55000:
+            dev_lo, dev_hi = 50000, 55000
+        else:
+            dev_lo, dev_hi = n - max(1, n // 8), n
+        train_idx = np.arange(0, dev_lo)
+        valid_idx = np.arange(dev_lo, dev_hi)
+
+        self.dataloaders = {
+            "train": ArrayLoader(arrays, args.batchsize, shuffle=True,
+                                 seed=getattr(args, "data_seed", 0),
+                                 indices=train_idx),
+            "dev": ArrayLoader(arrays, args.batchsize, indices=valid_idx),
+        }
+
+        extractor = f_avmnist.AVMnistFeatureExtractor(args)
+        template = extractor.init(0)
+        rgb_tree = _load_backbone_tree(
+            os.path.join(args.checkpointdir, args.rgb_cp) if args.rgb_cp else "",
+            template["rgbnet"], random_ok=getattr(args, "random_backbones", False))
+        aud_tree = _load_backbone_tree(
+            os.path.join(args.checkpointdir, args.audio_cp) if args.audio_cp else "",
+            template["audnet"], random_ok=getattr(args, "random_backbones", False))
+        backbone_tree = {"rgbnet": rgb_tree, "audnet": aud_tree}
+
+        sizes_aud, sizes_ims = f_avmnist.tap_sizes(args)
+        spec = PopulationSpec(
+            sizes_a=tuple(sizes_aud), sizes_b=tuple(sizes_ims),
+            hidden=args.inner_representation_size, num_outputs=args.num_outputs,
+            max_rows=args.max_progression_levels, batchnorm=False,
+            drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask)
+
+        seq = SequentialSearchTrainer(backbone_tree, ("image", "audio"),
+                                      mesh=mesh)
+        if getattr(args, "sequential_candidates", False):
+            self.train_fn = seq
+        else:
+            self.train_fn = PopulationSearchTrainer(
+                spec, extractor, backbone_tree, ("image", "audio"),
+                mesh=mesh, sequential_fallback=seq)
+
+    def search(self):
+        methods = {"train_sampled_fun": self.train_fn,
+                   "get_layer_confs": f_avmnist.get_possible_layer_configurations}
+        if not getattr(self.args, "randsearch", False):
+            surrogate = SimpleRecurrentSurrogate(100, 3, 100)
+            return self._epnas(f_avmnist.Searchable_Audio_Image_Net,
+                               {"model": surrogate}, self.dataloaders,
+                               methods, self.device)
+        return self._randsearch(f_avmnist.Searchable_Audio_Image_Net,
+                                self.dataloaders, methods, self.device)
+
+
+class NTUSearcher(ModelSearcher):
+    """Reference models/searchable.py:233-260: trainexp (7 subjects) for
+    search training, dev (4 subjects) for ranking."""
+
+    def __init__(self, args, device=None, mesh=None, jsonl_log=None):
+        super().__init__(args, jsonl_log=jsonl_log)
+        self.device = device
+        self.mesh = mesh
+
+        tfm_val = ntu_data.Compose([ntu_data.NormalizeLen(args.vid_len)])
+        tfm_tra = ntu_data.Compose([
+            ntu_data.AugCrop(seed=getattr(args, "data_seed", 0)),
+            ntu_data.NormalizeLen(args.vid_len)])
+
+        ds_train = ntu_data.NTU(args.datadir, transform=tfm_tra,
+                                stage="trainexp", args=args)
+        ds_dev = ntu_data.NTU(args.datadir, transform=tfm_val,
+                              stage="dev", args=args)
+        self.dataloaders = {
+            "train": MapLoader(ds_train, args.batchsize, shuffle=True,
+                               seed=getattr(args, "data_seed", 0),
+                               num_workers=args.num_workers),
+            "dev": MapLoader(ds_dev, args.batchsize,
+                             num_workers=args.num_workers),
+        }
+
+        extractor = f_ntu.NTUFeatureExtractor(args)
+        template = extractor.init(0)
+        ske_tree = _load_backbone_tree(
+            os.path.join(args.checkpointdir, args.ske_cp),
+            template["skenet"], random_ok=getattr(args, "random_backbones", False))
+        rgb_tree = _load_backbone_tree(
+            os.path.join(args.checkpointdir, args.rgb_cp),
+            template["rgbnet"], random_ok=getattr(args, "random_backbones", False))
+        backbone_tree = {"rgbnet": rgb_tree, "skenet": ske_tree}
+
+        sizes_ske, sizes_ims = f_ntu.tap_sizes(args)
+        spec = PopulationSpec(
+            sizes_a=tuple(sizes_ske), sizes_b=tuple(sizes_ims),
+            hidden=args.inner_representation_size, num_outputs=args.num_outputs,
+            max_rows=args.max_progression_levels, batchnorm=args.batchnorm,
+            drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask)
+
+        seq = SequentialSearchTrainer(backbone_tree, ("rgb", "ske"), mesh=mesh)
+        if getattr(args, "sequential_candidates", False):
+            self.train_fn = seq
+        else:
+            self.train_fn = PopulationSearchTrainer(
+                spec, extractor, backbone_tree, ("rgb", "ske"),
+                mesh=mesh, sequential_fallback=seq)
+
+    def search(self):
+        surrogate = SimpleRecurrentSurrogate(100, 3, 100)
+        methods = {"train_sampled_fun": self.train_fn,
+                   "get_layer_confs": f_ntu.get_possible_layer_configurations}
+        return self._epnas(f_ntu.Searchable_Skeleton_Image_Net,
+                           {"model": surrogate}, self.dataloaders, methods,
+                           self.device)
