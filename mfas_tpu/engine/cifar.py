@@ -1,0 +1,30 @@
+"""CIFAR train engine (reference models/search/train_searchable/cifar.py):
+single-image input, (logits, aux_logits) output, optional 0.4-weighted
+auxiliary loss, dev ERROR tracking (best acc = 1 - best error)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mfas_tpu.core import functional as F
+from mfas_tpu.engine.classifier import ClassifierEngine
+
+
+class CifarEngine(ClassifierEngine):
+    def __init__(self, model, use_intermediate=False, aux_weight=0.4,
+                 weight_decay=1e-4, mesh=None):
+        super().__init__(model, multitask=False, weight_decay=weight_decay,
+                         input_keys=("image",), label_key="label", mesh=mesh)
+        self.use_intermediate = use_intermediate
+        self.aux_weight = aux_weight
+
+    def _forward(self, tree, ctx, batch):
+        out, iout = self.model.apply(tree, ctx, batch["image"])
+        label = batch["label"]
+        w = batch["_mask"]
+        loss = F.cross_entropy(out, label, w)
+        if self.use_intermediate:
+            loss = loss + self.aux_weight * F.cross_entropy(iout, label, w)
+        preds = jnp.argmax(out, axis=1)
+        corrects = jnp.sum((preds == label) * w)
+        return loss, corrects

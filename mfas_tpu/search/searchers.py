@@ -107,6 +107,48 @@ class AVMNISTSearcher(ModelSearcher):
                                 self.dataloaders, methods, self.device)
 
 
+class CifarSearcher(ModelSearcher):
+    """Reference models/searchable.py:270-317: CIFAR-10 train[0:45000] /
+    train[45000:50000] split, 4-feature surrogate, whole-net candidates."""
+
+    def __init__(self, args, device=None, mesh=None, jsonl_log=None):
+        super().__init__(args, jsonl_log=jsonl_log)
+        self.device = device
+        self.mesh = mesh
+
+        from mfas_tpu.data.cifar import CifarLoader, load_cifar10_arrays
+        from mfas_tpu.search.trainers import CifarSearchTrainer
+
+        arrays = load_cifar10_arrays(args.data_dir, train=True)
+        n = arrays["image"].shape[0]
+        if n >= 50000:
+            split = 45000
+            hi = 50000
+        else:
+            split = n - max(1, n // 10)
+            hi = n
+        self.dataloaders = {
+            # the reference applies TRAIN transforms to the dev subset too
+            # (models/searchable.py:294-297 builds both from the train-
+            # transform dataset) — preserved here
+            "train": CifarLoader(arrays, args.batchsize, train=True,
+                                 seed=getattr(args, "data_seed", 0),
+                                 indices=np.arange(0, split)),
+            "dev": CifarLoader(arrays, args.batchsize, train=True,
+                               seed=getattr(args, "data_seed", 1),
+                               indices=np.arange(split, hi)),
+        }
+        self.train_fn = CifarSearchTrainer(mesh=mesh)
+
+    def search(self):
+        from mfas_tpu.fusion import cifar as f_cifar
+        surrogate = SimpleRecurrentSurrogate(100, 4, 100)
+        methods = {"train_sampled_fun": self.train_fn,
+                   "get_layer_confs": f_cifar.get_possible_layer_configurations}
+        return self._epnas(f_cifar.Searchable_MicroCNN, {"model": surrogate},
+                           self.dataloaders, methods, self.device)
+
+
 class NTUSearcher(ModelSearcher):
     """Reference models/searchable.py:233-260: trainexp (7 subjects) for
     search training, dev (4 subjects) for ranking."""

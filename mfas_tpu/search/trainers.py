@@ -110,6 +110,96 @@ class SequentialSearchTrainer:
 
 
 # --------------------------------------------------------------------------
+# CIFAR candidate trainer (whole-net training; reference
+# models/search/cifar_searchable.py:21-62)
+# --------------------------------------------------------------------------
+def get_cifar_states(model, tree, state_dict):
+    """Per-cell/per-block op weights keyed 'op{1,2}.{type}.block{b}.cell{c}'
+    (cifar_searchable.py:83-114). The reference's get_states also reads
+    model.aux_classifier, an attribute that doesn't exist on its own model
+    (the attribute is aux_head) — we store the aux head under the same
+    'aux_classifier' key the reference intended."""
+    state_dict = {}
+    for c in range(len(model.cell_array)):
+        cell = model.cell_array[c]
+        ctree = tree["cell_array"][str(c)]["blocks"]
+        for b in range(len(cell.blocks)):
+            block = cell.blocks[b]
+            state_dict[f"op1.{block.op1_type}.block{b}.cell{c}"] = \
+                ctree[str(b)]["op1"]
+            state_dict[f"op2.{block.op2_type}.block{b}.cell{c}"] = \
+                ctree[str(b)]["op2"]
+    state_dict["input_conv"] = tree["input_conv"]
+    state_dict["classifier"] = tree["classifier"]
+    state_dict["aux_classifier"] = tree["aux_head"]
+    return state_dict
+
+
+def set_cifar_states(model, tree, state_dict):
+    for c in range(len(model.cell_array)):
+        cell = model.cell_array[c]
+        for b in range(len(cell.blocks)):
+            block = cell.blocks[b]
+            k1 = f"op1.{block.op1_type}.block{b}.cell{c}"
+            k2 = f"op2.{block.op2_type}.block{b}.cell{c}"
+            if k1 in state_dict:
+                tree = tree_set(tree, f"cell_array.{c}.blocks.{b}.op1",
+                                state_dict[k1])
+            if k2 in state_dict:
+                tree = tree_set(tree, f"cell_array.{c}.blocks.{b}.op2",
+                                state_dict[k2])
+    for key, path in (("classifier", "classifier"),
+                      ("aux_classifier", "aux_head"),
+                      ("input_conv", "input_conv")):
+        if key in state_dict:
+            tree = tree_set(tree, path, state_dict[key])
+    return tree
+
+
+class CifarSearchTrainer:
+    """Whole-network per-candidate training (no frozen backbone, so the
+    population-over-cached-features transform doesn't apply; candidates
+    with heterogeneous op graphs compile as separate programs)."""
+
+    def __init__(self, seed=0, mesh=None):
+        self._seed = seed
+        self.mesh = mesh
+
+    def __call__(self, sampled_configurations, searchable_type, dataloaders,
+                 args, device=None, state_dict=None):
+        from mfas_tpu.engine.cifar import CifarEngine
+
+        state_dict = {} if state_dict is None else state_dict
+        sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
+        nbpe = sizes["train"] / args.batchsize
+
+        accs = []
+        for configuration in sampled_configurations:
+            model = searchable_type(args, configuration)
+            self._seed += 1
+            tree = model.init(self._seed)
+            if args.weightsharing:
+                tree = set_cifar_states(model, tree, state_dict)
+            if args.verbose:
+                print("Now training: ")
+                print(configuration)
+
+            engine = CifarEngine(model, mesh=self.mesh)
+            scheduler = LRCosineAnnealingScheduler(
+                args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
+            best_acc, best_tree = engine.train_track_acc(
+                tree, None, dataloaders, sizes, scheduler,
+                num_epochs=args.epochs, seed=self._seed,
+                print_loss=args.verbose)
+            if args.weightsharing:
+                new_states = get_cifar_states(model, best_tree, state_dict)
+                state_dict.clear()
+                state_dict.update(new_states)
+            accs.append(float(best_acc))
+        return accs
+
+
+# --------------------------------------------------------------------------
 # population (vmap) candidate trainer
 # --------------------------------------------------------------------------
 class PopulationSearchTrainer:
