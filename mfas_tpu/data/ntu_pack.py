@@ -1,0 +1,127 @@
+"""Packed NTU store: one-time offline decode -> memory-mapped training reads.
+
+The reference decodes a FULL AVI per sample per epoch to keep 24 frames
+(datasets/ntu.py:12-32 via __getitem__:247-250) — the dominant input cost
+(SURVEY.md §7.3 hard part 5). ``pack_ntu`` does that decode exactly once,
+storing:
+
+  * ``rgb.u8``   uint8 memmap (N, frames, H, W, 3) — raw cv2 BGR frames;
+  * ``ske.f32``  float32 memmap (N, 3, max_skel_frames, 25, 2) + per-sample
+    true lengths (text parsed by the native C++ parser);
+  * ``labels.npy``, ``meta.json``.
+
+``PackedNTU`` serves samples API-compatible with data.ntu.NTU (same
+transform pipeline applies) but with /255 + ImageNet normalization fused
+into the native threaded gather (mfas_tpu.data.native), and zero video
+decoding in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from mfas_tpu.data import native
+from mfas_tpu.data import ntu as ntu_data
+
+DEFAULT_FRAMES = 24          # load_video's default (datasets/ntu.py:12)
+MAX_SKEL_FRAMES = 300
+
+
+def pack_ntu(root_dir, out_dir, stage, args=None, frames=DEFAULT_FRAMES,
+             max_skel_frames=MAX_SKEL_FRAMES, vid_dim=256, vid_fr=30,
+             verbose=True):
+    """Decode every sample of a split once into the packed layout."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ntu_data.NTU(root_dir, transform=None, stage=stage,
+                      vid_dim=vid_dim, vid_fr=vid_fr, args=args,
+                      shuffle_seed=0)
+    n = len(ds)
+    if n == 0:
+        raise ValueError(f"no samples for stage {stage!r} under {root_dir}")
+
+    # probe first video for dimensions
+    first = ntu_data.load_video(ds.rgb_list[0], vid_len=frames)
+    H, W = first.shape[1], first.shape[2]
+
+    rgb = np.lib.format.open_memmap(
+        os.path.join(out_dir, "rgb.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, frames, H, W, 3))
+    ske = np.lib.format.open_memmap(
+        os.path.join(out_dir, "ske.npy"), mode="w+", dtype=np.float32,
+        shape=(n, 3, max_skel_frames, 25, 2))
+    ske_len = np.zeros((n,), np.int32)
+    labels = np.zeros((n,), np.int32)
+
+    for i in range(n):
+        video = ntu_data.load_video(ds.rgb_list[i], vid_len=frames)
+        rgb[i] = np.clip(video, 0, 255).astype(np.uint8)
+        parsed, true_len = native.parse_skeleton(ds.ske_list[i],
+                                                 max_skel_frames)
+        ske[i] = parsed
+        ske_len[i] = min(true_len, max_skel_frames)
+        labels[i] = ds.labels[i] - 1
+        if verbose and i % 200 == 0:
+            print(f"packed {i}/{n}")
+
+    rgb.flush()
+    ske.flush()
+    np.save(os.path.join(out_dir, "ske_len.npy"), ske_len)
+    np.save(os.path.join(out_dir, "labels.npy"), labels)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n": n, "frames": frames, "h": H, "w": W,
+                   "max_skel_frames": max_skel_frames, "stage": stage}, f)
+    if verbose:
+        print(f"packed {n} samples to {out_dir}")
+    return n
+
+
+class PackedNTU:
+    """Indexable dataset over a packed store; drop-in for data.ntu.NTU."""
+
+    def __init__(self, packed_dir, transform=None, args=None,
+                 num_threads=2):
+        with open(os.path.join(packed_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.rgb = np.load(os.path.join(packed_dir, "rgb.npy"), mmap_mode="r")
+        self.ske = np.load(os.path.join(packed_dir, "ske.npy"), mmap_mode="r")
+        self.ske_len = np.load(os.path.join(packed_dir, "ske_len.npy"))
+        self.labels = np.load(os.path.join(packed_dir, "labels.npy"))
+        self.transform = transform
+        self.args = args
+        self.num_threads = num_threads
+        # cv2 frames are BGR; the reference normalizes with RGB-ordered
+        # ImageNet stats on BGR data (datasets/ntu.py:266-267) — preserved.
+        self._mean = ntu_data.IMAGENET_MEAN
+        self._std = ntu_data.IMAGENET_STD
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, idx):
+        modality = getattr(self.args, "modality", "both") if self.args else "both"
+        no_norm = getattr(self.args, "no_norm", False) if self.args else False
+
+        video = np.zeros([1], np.float32)
+        skeleton = np.zeros([1], np.float32)
+        if modality in ("rgb", "both"):
+            video = native.gather_normalize_u8(
+                self.rgb[idx][None], np.asarray([0]), self._mean, self._std,
+                num_threads=self.num_threads)[0]
+        if modality in ("skeleton", "both"):
+            skeleton = np.asarray(self.ske[idx, :, :self.ske_len[idx]],
+                                  np.float32)
+            if not no_norm:
+                origin = skeleton[:, :, 1, 0]
+                skeleton = skeleton - origin[:, :, None, None]
+
+        sample = {"rgb": video, "ske": skeleton,
+                  "label": int(self.labels[idx])}
+        if self.transform:
+            sample = self.transform(sample)
+        sample["label"] = np.int32(sample["label"])
+        sample["rgb"] = np.asarray(sample["rgb"], np.float32)
+        sample["ske"] = np.asarray(sample["ske"], np.float32)
+        return sample

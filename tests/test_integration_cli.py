@@ -44,6 +44,25 @@ def test_main_found_avmnist_smoke(tmp_path, monkeypatch, capsys):
     assert "Model Acc:" in capsys.readouterr().out
 
 
+def test_main_found_mmimdb_smoke(tmp_path, monkeypatch, capsys):
+    import main_found_mmimdb as m
+    from mfas_tpu.data.mm_imdb import make_synthetic_mmimdb
+    for stage, n in (("train", 16), ("dev", 8), ("test", 8)):
+        make_synthetic_mmimdb(str(tmp_path / "data"), stage, n=n,
+                              feat_dim=300, num_labels=23)
+    run_cli(m, monkeypatch, [
+        "main_found_mmimdb.py",
+        "--datadir", str(tmp_path / "data"),
+        "--checkpointdir", str(tmp_path),
+        "--model", "simplevt", "--channels", "4", "--text_first_hidden", "8",
+        "--batchsize", "8", "--epochs", "1",
+        "--train_size", "16", "--dev_size", "8", "--test_size", "8",
+        "--no-verbose",
+    ])
+    out = capsys.readouterr().out
+    assert "Model F1:" in out
+
+
 def test_main_searchable_avmnist_tiny_search(tmp_path, monkeypatch, capsys):
     import main_searchable_avmnist as m
     make_synthetic_avmnist(str(tmp_path / "data"), n_train=64, n_test=16)
