@@ -1,0 +1,111 @@
+"""Fused device-side input kernels (BASELINE.json north star: "clip
+decode/crop/normalize ... become fused XLA/Pallas input kernels feeding
+HBM-resident batches").
+
+The host ships raw uint8 clips (4x less host->device traffic than float32);
+one Pallas pass on the VPU does uint8 -> float32 with the fused
+(x/255 - mean)/std per-channel affine, reading each byte from HBM exactly
+once. Temporal frame selection (the NormalizeLen linspace pick,
+datasets/ntu.py:99-102) happens as an XLA gather before the kernel so only
+selected frames are normalized.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_CHAN_TILE = 3 * _LANE          # last-dim width: channel phase aligns per row
+_ROW_ALIGN = 8                  # sublane divisibility requirement
+_PAD_UNIT = _CHAN_TILE * _ROW_ALIGN
+_MAX_ROWS = 256                 # 256*384 elems: ~0.5 MB VMEM in f32
+
+
+def _affine_from_stats(mean, std):
+    """(x/255 - mean)/std == x * scale + bias."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    scale = 1.0 / (255.0 * std)
+    bias = -mean / std
+    return scale, bias
+
+
+def _u8_norm_kernel(scale_ref, bias_ref, x_ref, o_ref):
+    # Mosaic can't cast u8 -> f32 directly; widen to i32 first
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)   # (1, R, 384)
+    c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2) % 3
+    s0, s1, s2 = scale_ref[0, 0], scale_ref[0, 1], scale_ref[0, 2]
+    b0, b1, b2 = bias_ref[0, 0], bias_ref[0, 1], bias_ref[0, 2]
+    s = jnp.where(c == 0, s0, jnp.where(c == 1, s1, s2))
+    b = jnp.where(c == 0, b0, jnp.where(c == 1, b1, b2))
+    o_ref[:] = x * s + b
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _u8_normalize_flat(x_flat, scale, bias, interpret=False):
+    """x_flat: (B, L) uint8 with L % _PAD_UNIT == 0 -> (B, L) float32."""
+    B, L = x_flat.shape
+    rows = L // _CHAN_TILE                    # multiple of _ROW_ALIGN
+    r_tile = min(rows, _MAX_ROWS)
+    while rows % r_tile:
+        r_tile -= _ROW_ALIGN
+    x3 = x_flat.reshape(B, rows, _CHAN_TILE)
+    grid = (B, rows // r_tile)
+    out = pl.pallas_call(
+        _u8_norm_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, rows, _CHAN_TILE), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r_tile, _CHAN_TILE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_tile, _CHAN_TILE), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scale.reshape(1, 3), bias.reshape(1, 3), x3)
+    return out.reshape(B, L)
+
+
+def u8_normalize(x_u8, mean, std, frame_indices=None, use_pallas=True,
+                 interpret=False):
+    """(B, T, H, W, 3) uint8 -> (B, T', H, W, 3) float32, normalized.
+
+    frame_indices: optional (T',) int array — the linspace frame pick is
+    fused in front so dropped frames are never normalized."""
+    scale_np, bias_np = _affine_from_stats(mean, std)
+    if frame_indices is not None:
+        x_u8 = jnp.take(x_u8, jnp.asarray(frame_indices), axis=1)
+
+    if not use_pallas:
+        scale = jnp.asarray(scale_np)
+        bias = jnp.asarray(bias_np)
+        return x_u8.astype(jnp.float32) * scale + bias
+
+    shape = x_u8.shape
+    B = shape[0]
+    L = int(np.prod(shape[1:]))
+    pad = (-L) % _PAD_UNIT
+    x_flat = x_u8.reshape(B, L)
+    if pad:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, pad)))
+    out = _u8_normalize_flat(x_flat, jnp.asarray(scale_np),
+                             jnp.asarray(bias_np), interpret=interpret)
+    if pad:
+        out = out[:, :L]
+    return out.reshape(shape)
+
+
+def linspace_frame_indices(num_frames, out_frames):
+    """The reference's NormalizeLen frame pick (datasets/ntu.py:99-102)."""
+    return np.linspace(0, num_frames - 1, out_frames).astype(np.int32)

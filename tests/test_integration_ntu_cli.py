@@ -1,0 +1,79 @@
+"""NTU flagship entry points end-to-end on a synthetic raw-NTU layout
+(tiny videos, random backbones). Exercises main_found_ntu's two-phase
+recipe and main_searchable_ntu's population search."""
+
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def build_ntu_fixture(tmp_path, subjects=(1, 2, 3), n_actions=3, frames=12,
+                      dim=32):
+    rgb_dir = tmp_path / "nturgbd_rgb" / "avi_256x256_30"
+    ske_dir = tmp_path / "nturgbd_skeletons"
+    rgb_dir.mkdir(parents=True, exist_ok=True)
+    ske_dir.mkdir(parents=True, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for s in subjects:
+        for a in range(1, n_actions + 1):
+            name = f"S001C001P{s:03d}R001A{a:03d}"
+            vw = cv2.VideoWriter(str(rgb_dir / f"{name}_rgb.avi"),
+                                 cv2.VideoWriter_fourcc(*"MJPG"), 30, (dim, dim))
+            for t in range(frames):
+                vw.write(rs.randint(0, 255, (dim, dim, 3), np.uint8))
+            vw.release()
+            lines = [str(frames)]
+            for _ in range(frames):
+                lines.append("1")
+                lines.append("pid 0 0 0 0 0 0 0 0 1")
+                lines.append("25")
+                for j in range(25):
+                    x, y, z = rs.randn(3) * 0.1
+                    lines.append(f"{x:.4f} {y:.4f} {z:.4f} 0 0 0 0 0 0 0 0 2")
+            (ske_dir / f"{name}.skeleton").write_text("\n".join(lines) + "\n")
+
+
+def run_cli(module, monkeypatch, argv):
+    monkeypatch.setattr(sys, "argv", argv)
+    module.main()
+
+
+@pytest.mark.slow
+def test_main_found_ntu_smoke(tmp_path, monkeypatch, capsys):
+    import main_found_ntu as m
+    # subjects: 1 in train, 2 in dev, 3 in test
+    build_ntu_fixture(tmp_path)
+    run_cli(m, monkeypatch, [
+        "main_found_ntu.py",
+        "--datadir", str(tmp_path), "--checkpointdir", str(tmp_path),
+        "--conf", "4", "--num_outputs", "3", "--batchsize", "3",
+        "--epochs", "1", "--inner_representation_size", "8",
+        "--vid_len", "2", "32", "--j", "2",
+        "--random_backbones", "--no-verbose",
+    ])
+    out = capsys.readouterr().out
+    assert "Model Acc:" in out
+
+
+@pytest.mark.slow
+def test_main_searchable_ntu_tiny_population_search(tmp_path, monkeypatch,
+                                                    capsys):
+    import main_searchable_ntu as m
+    # trainexp uses subject 1; dev uses subject 2
+    build_ntu_fixture(tmp_path)
+    run_cli(m, monkeypatch, [
+        "main_searchable_ntu.py",
+        "--datadir", str(tmp_path), "--checkpointdir", str(tmp_path),
+        "--num_outputs", "3", "--batchsize", "3", "--epochs", "1",
+        "--inner_representation_size", "8",
+        "--vid_len", "2", "32", "--num_workers", "2",
+        "--max_fusions", "2", "--search_iterations", "1",
+        "--num_samples", "2", "--epochs_surrogate", "2",
+        "--random_backbones", "--no-verbose", "--seed", "0",
+    ])
+    out = capsys.readouterr().out
+    assert "Search complete" in out
+    assert "Now listing best architectures" in out
