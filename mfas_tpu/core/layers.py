@@ -376,10 +376,10 @@ class ParamList(Module):
     def __init__(self, shapes, init=None):
         super().__init__()
         self.shapes = [tuple(s) for s in shapes]
-        self._init = init or I.uniform(0.0, 1.0)  # torch.rand default
+        self._initializer = init or I.uniform(0.0, 1.0)  # torch.rand default
 
     def create(self, rng: Rng):
-        return {str(i): self._init(rng.next(), s)
+        return {str(i): self._initializer(rng.next(), s)
                 for i, s in enumerate(self.shapes)}
 
     def leaf_kinds(self):

@@ -244,6 +244,13 @@ class CentralNet(Module):
         if pad > 0:
             zeros_shape = (m2.shape[0], pad) + m2.shape[2:]
             m2 = jnp.concatenate([m2, jnp.zeros(zeros_shape, m2.dtype)], axis=1)
+        # repair over the reference: skeleton maps have (T, V) spatial dims
+        # that can't broadcast against the video maps — the reference's
+        # CentralNet would crash here too (it is an abandoned baseline, see
+        # also its reload-checkpoint-in-forward defect, SURVEY §2). Align
+        # spatial dims bilinearly before the weighted sum.
+        if m1.ndim == 4 and m2.ndim == 4 and m1.shape[2:] != m2.shape[2:]:
+            m2 = F.interpolate_bilinear(m2, m1.shape[2:])
         return central * ac + m1 * a1 + m2 * a2
 
     def apply(self, tree, ctx, inputs):

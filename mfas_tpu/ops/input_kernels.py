@@ -25,7 +25,7 @@ _LANE = 128
 _CHAN_TILE = 3 * _LANE          # last-dim width: channel phase aligns per row
 _ROW_ALIGN = 8                  # sublane divisibility requirement
 _PAD_UNIT = _CHAN_TILE * _ROW_ALIGN
-_MAX_ROWS = 256                 # 256*384 elems: ~0.5 MB VMEM in f32
+_MAX_ROWS = 4096                # 4096*384 elems: ~6 MB f32 + 1.5 MB u8 VMEM
 
 
 def _affine_from_stats(mean, std):
@@ -37,15 +37,12 @@ def _affine_from_stats(mean, std):
     return scale, bias
 
 
-def _u8_norm_kernel(scale_ref, bias_ref, x_ref, o_ref):
-    # Mosaic can't cast u8 -> f32 directly; widen to i32 first
+def _u8_norm_kernel(x_ref, scale_ref, bias_ref, o_ref):
+    # Mosaic can't cast u8 -> f32 directly; widen to i32 first. The
+    # per-channel affine arrives pre-tiled to the 384-lane row so the body
+    # is a pure fused multiply-add on the VPU (no iota/select).
     x = x_ref[:].astype(jnp.int32).astype(jnp.float32)   # (1, R, 384)
-    c = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2) % 3
-    s0, s1, s2 = scale_ref[0, 0], scale_ref[0, 1], scale_ref[0, 2]
-    b0, b1, b2 = bias_ref[0, 0], bias_ref[0, 1], bias_ref[0, 2]
-    s = jnp.where(c == 0, s0, jnp.where(c == 1, s1, s2))
-    b = jnp.where(c == 0, b0, jnp.where(c == 1, b1, b2))
-    o_ref[:] = x * s + b
+    o_ref[:] = x * scale_ref[:] + bias_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -57,23 +54,25 @@ def _u8_normalize_flat(x_flat, scale, bias, interpret=False):
     while rows % r_tile:
         r_tile -= _ROW_ALIGN
     x3 = x_flat.reshape(B, rows, _CHAN_TILE)
+    scale_row = jnp.tile(scale, _LANE).reshape(1, _CHAN_TILE)
+    bias_row = jnp.tile(bias, _LANE).reshape(1, _CHAN_TILE)
     grid = (B, rows // r_tile)
     out = pl.pallas_call(
         _u8_norm_kernel,
         out_shape=jax.ShapeDtypeStruct((B, rows, _CHAN_TILE), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, r_tile, _CHAN_TILE), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CHAN_TILE), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CHAN_TILE), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r_tile, _CHAN_TILE), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scale.reshape(1, 3), bias.reshape(1, 3), x3)
+    )(x3, scale_row, bias_row)
     return out.reshape(B, L)
 
 
