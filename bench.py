@@ -32,14 +32,21 @@ def _ntu_args(**kw):
     return types.SimpleNamespace(**d)
 
 
-def _time(fn, warmup=2, iters=5):
+def _time(fn, warmup=2, iters=5, inner=10):
+    """Median seconds per call; each measurement chains ``inner`` calls and
+    blocks once at the end, amortizing host-dispatch latency (this chip sits
+    behind a network tunnel, so single-call timings are noise-dominated)."""
+    import jax
     for _ in range(warmup):
         fn()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(inner):
+            out = fn()
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / inner)
     return float(np.median(times))
 
 
@@ -91,9 +98,7 @@ def main():
 
     # ---- backbone feature extraction (shared)
     def feats_step():
-        out = trainer._features(backbone_tree, (rgb, ske), key, train=True)
-        jax.block_until_ready(out)
-        return out
+        return trainer._features(backbone_tree, (rgb, ske), key, train=True)
 
     t_backbone = _time(feats_step)
     fa, fb, lb, la = trainer._features(backbone_tree, (rgb, ske), key,
@@ -105,9 +110,8 @@ def main():
         params, bn, opt, enc = setup(confs)
 
         def head_step(params=params, bn=bn, opt=opt, enc=enc):
-            out = trainer._train_step(params, bn, opt, enc, fa, fb, lb, la,
-                                      label, wmask, jnp.float32(1e-3), key)
-            jax.block_until_ready(out)
+            return trainer._train_step(params, bn, opt, enc, fa, fb, lb, la,
+                                       label, wmask, jnp.float32(1e-3), key)
 
         results[name] = _time(head_step)
 
@@ -126,15 +130,13 @@ def main():
     batch = {"rgb": rgb, "ske": ske, "label": label, "_mask": wmask}
 
     def full_step():
-        out = engine._train_step(trainable, frozen, opt, batch,
-                                 jnp.float32(1e-3), key)
-        jax.block_until_ready(out)
+        return engine._train_step(trainable, frozen, opt, batch,
+                                  jnp.float32(1e-3), key)
 
     t_full = _time(full_step, warmup=2, iters=5)
 
     def infer_step():
-        out = engine._eval_step(trainable, frozen, batch)
-        jax.block_until_ready(out)
+        return engine._eval_step(trainable, frozen, batch)
 
     t_infer = _time(infer_step, warmup=2, iters=5)
 

@@ -59,6 +59,7 @@ def parse_args():
                         default=False)
     parser.add_argument('--random_backbones', action='store_true', default=False)
     parser.add_argument('--search_state', type=str, default='')
+    parser.add_argument('--resume_search', action='store_true', default=False)
     parser.add_argument('--jsonl_log', type=str, default='')
     return parser.parse_args()
 

@@ -44,6 +44,7 @@ def parse_args():
     parser.add_argument('--weightsharing', action='store_true', default=False)
     parser.add_argument('--seed', type=int, default=None)
     parser.add_argument('--search_state', type=str, default='')
+    parser.add_argument('--resume_search', action='store_true', default=False)
     parser.add_argument('--jsonl_log', type=str, default='')
     return parser.parse_args()
 

@@ -90,6 +90,8 @@ def parse_args():
                         help='smoke-run without pretrained backbone checkpoints')
     parser.add_argument('--search_state', type=str, default='',
                         help='persist resumable search state to this path')
+    parser.add_argument('--resume_search', action='store_true', default=False,
+                        help='resume from --search_state if it exists')
     parser.add_argument('--jsonl_log', type=str, default='',
                         help='append structured search telemetry here')
     return parser.parse_args()

@@ -203,14 +203,54 @@ class PopulationTrainer:
 
     def __init__(self, spec: PopulationSpec, feature_extractor,
                  backbone_tree, mesh=None):
+        """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
+        over 'pop' (communication-free) and batches over 'data'; a 1-D
+        ('data',) mesh shards batches only. Under jit/GSPMD the program is
+        written once — XLA inserts the batch-axis reductions."""
         self.spec = spec
         self.extractor = feature_extractor
-        self.backbone_tree = backbone_tree
         self.mesh = mesh
+        self._pop_sharded = mesh is not None and "pop" in mesh.axis_names
+        self._data_sharded = mesh is not None and "data" in mesh.axis_names
+        self.backbone_tree = self._replicate(backbone_tree)
 
         self._features = jax.jit(self._features_impl, static_argnames=("train",))
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ----- sharding helpers
+    def _put(self, tree, spec_):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding
+        sh = NamedSharding(self.mesh, spec_)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def _replicate(self, tree):
+        from jax.sharding import PartitionSpec as P
+        return self._put(tree, P())
+
+    def _shard_leading(self, tree, axis, enabled):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None or not enabled:
+            return tree
+        n = self.mesh.shape[axis]
+        sharded = NamedSharding(self.mesh, P(axis))
+        repl = NamedSharding(self.mesh, P())
+
+        def place(x):
+            # replicate anything whose leading dim doesn't divide the axis
+            # (e.g. populations of 15 over 2 devices)
+            ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+            return jax.device_put(x, sharded if ok else repl)
+
+        return jax.tree_util.tree_map(place, tree)
+
+    def _shard_pop(self, tree):
+        return self._shard_leading(tree, "pop", self._pop_sharded)
+
+    def _shard_data(self, tree):
+        return self._shard_leading(tree, "data", self._data_sharded)
 
     # ----- backbone feature cache (shared across all candidates)
     def _features_impl(self, backbone_tree, inputs, rng, train):
@@ -280,8 +320,11 @@ class PopulationTrainer:
         """Returns per-candidate best dev accuracy (reference
         train_sampled_models contract: list of floats)."""
         spec = self.spec
-        conf = {k: jnp.asarray(v) for k, v in encode_confs(confs, spec).items()}
+        conf = self._shard_pop(
+            {k: jnp.asarray(v) for k, v in encode_confs(confs, spec).items()})
         params, bn_state = init_population(confs, spec, seed)
+        params = self._shard_pop(params)
+        bn_state = self._shard_pop(bn_state)
         opt_state = adam_init(params)
         rng = Rng(seed + 1)
         P = len(confs)
@@ -291,9 +334,10 @@ class PopulationTrainer:
             for phase in ("train", "dev"):
                 corrects = np.zeros((P,))
                 for batch in dataloaders[phase]:
-                    inputs = tuple(jnp.asarray(batch[k]) for k in input_keys)
-                    label = jnp.asarray(batch[label_key])
-                    wmask = jnp.asarray(batch["_mask"])
+                    inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
+                                   for k in input_keys)
+                    label = self._shard_data(jnp.asarray(batch[label_key]))
+                    wmask = self._shard_data(jnp.asarray(batch["_mask"]))
                     fa, fb, lb, la = self._features(
                         self.backbone_tree, inputs, rng.next(),
                         train=(phase == "train"))

@@ -37,7 +37,8 @@ class ModelSearcher:
                 f.write(json.dumps(event, default=_np_default) + "\n")
 
     # ----- checkpointing (additive, SURVEY §5.3)
-    def _save_state(self, path, s_data, temperature, si, progression_index):
+    def _save_state(self, path, s_data, temperature, si, progression_index,
+                    sampled_k_confs, surrogate):
         if not path:
             return
         state = {
@@ -46,11 +47,19 @@ class ModelSearcher:
             "temperature": temperature,
             "si": si,
             "progression_index": progression_index,
+            "sampled_k_confs": [np.asarray(c) for c in sampled_k_confs],
+            "surrogate_params": _tree_to_numpy(
+                getattr(surrogate, "params", None)),
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(state, f)
         os.replace(tmp, path)
+
+    @staticmethod
+    def load_state(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
 
     def _epnas(self, model_type, surrogate_dict, dataloaders,
                dataset_searchmethods, device=None):
@@ -65,12 +74,31 @@ class ModelSearcher:
         shared_weights = {}
         state_path = getattr(self.args, "search_state", None)
 
+        # crash resume (additive): restore the sampler RNG, surrogate
+        # dataset/params, temperature and progress, then skip completed steps
+        resume_after = (-1, -1)
+        if (getattr(self.args, "resume_search", False) and state_path
+                and os.path.exists(state_path)):
+            st = self.load_state(state_path)
+            s_data = SurrogateDataloader.from_state(st["surrogate_data"])
+            np.random.set_state(st["np_random_state"])
+            temperature = st["temperature"]
+            sampled_k_confs = [np.asarray(c) for c in st["sampled_k_confs"]]
+            if st.get("surrogate_params") is not None:
+                surrogate.params = _tree_from_numpy(st["surrogate_params"])
+            resume_after = (st["si"], st["progression_index"])
+            if self.args.verbose:
+                print("Resuming search after iteration {} step {}".format(
+                    *resume_after))
+
         for si in range(self.args.search_iterations):
             if self.args.verbose:
                 print(50 * "=")
                 print("Search iteration {}/{} ".format(si, self.args.search_iterations))
 
             for progression_index in range(self.args.max_progression_levels):
+                if (si, progression_index) <= resume_after:
+                    continue  # already completed before the crash
                 if self.args.verbose:
                     print(25 * "-")
                     print("Progressive step {}/{} ".format(
@@ -140,7 +168,7 @@ class ModelSearcher:
                     n_scored=len(all_configurations),
                     surrogate_size=len(s_data))
                 self._save_state(state_path, s_data, temperature, si,
-                                 progression_index)
+                                 progression_index, sampled_k_confs, surrogate)
 
         return s_data
 
@@ -181,3 +209,16 @@ def _np_default(o):
     if isinstance(o, (np.integer, np.floating)):
         return o.item()
     raise TypeError(type(o))
+
+
+def _tree_to_numpy(tree):
+    if tree is None:
+        return None
+    import jax
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _tree_from_numpy(tree):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.asarray, tree)

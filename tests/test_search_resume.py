@@ -1,0 +1,85 @@
+"""Crash-resumable search (SURVEY.md §5.3): a search interrupted after any
+step resumes from its persisted state and produces the same final dataset
+as an uninterrupted run (RNG, temperature, surrogate dataset, sampled top-K
+all restored)."""
+
+import os
+import shutil
+import types
+
+import numpy as np
+
+from mfas_tpu.search.searcher import ModelSearcher
+from tests.test_epnas_ranking_parity import (_NullSurrogate, get_layer_confs,
+                                             scripted_acc)
+
+
+def make_args(state_path, resume=False):
+    return types.SimpleNamespace(
+        search_iterations=1, max_progression_levels=3, num_samples=3,
+        initial_temperature=10.0, final_temperature=0.2, temperature_decay=4.0,
+        epochs_surrogate=2, lr_surrogate=1e-3, verbose=False,
+        search_state=state_path, resume_search=resume)
+
+
+def train_fn(confs, model_type, dataloaders, a, device, state_dict=None):
+    return [scripted_acc(c) for c in confs]
+
+
+class Searcher(ModelSearcher):
+    def __init__(self, args):
+        super().__init__(args)
+        self.saved_steps = []
+
+    def _save_state(self, path, *a, **k):
+        super()._save_state(path, *a, **k)
+        if path:
+            copy = f"{path}.step{len(self.saved_steps)}"
+            shutil.copy(path, copy)
+            self.saved_steps.append(copy)
+
+    def search(self):
+        return self._epnas(
+            None, {"model": _NullSurrogate()}, None,
+            {"train_sampled_fun": train_fn,
+             "get_layer_confs": get_layer_confs})
+
+
+def _as_pairs(s_data):
+    confs, accs = s_data.get_data()
+    out = set()
+    for group, acc in zip(confs, accs):
+        for i in range(group.shape[1]):
+            out.add((group[:, i, :].tobytes(), float(acc[i, 0])))
+    return out
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    full_path = str(tmp_path / "full.pkl")
+    np.random.seed(42)
+    full = Searcher(make_args(full_path))
+    full_data = full.search()
+    assert len(full.saved_steps) == 3
+
+    # simulate a crash right after step 0: the state saved then becomes the
+    # resume point for a fresh process
+    resume_path = str(tmp_path / "resume.pkl")
+    shutil.copy(full.saved_steps[0], resume_path)
+
+    np.random.seed(7)  # a different, "fresh process" RNG — must not matter
+    resumed = Searcher(make_args(resume_path, resume=True))
+    resumed_data = resumed.search()
+
+    assert _as_pairs(resumed_data) == _as_pairs(full_data)
+
+
+def test_resume_flag_off_restarts(tmp_path):
+    path = str(tmp_path / "s.pkl")
+    np.random.seed(0)
+    s1 = Searcher(make_args(path))
+    s1.search()
+    # without resume_search the state file is ignored and overwritten
+    np.random.seed(0)
+    s2 = Searcher(make_args(path, resume=False))
+    d2 = s2.search()
+    assert len(_as_pairs(d2)) > 0
