@@ -62,8 +62,8 @@ def main():
     from mfas_tpu.search.population import (PopulationSpec, PopulationTrainer,
                                             encode_confs, init_population)
 
-    B = 8              # search batch (reference default batchsize=20 @256px;
-    IMG = 128          # scaled to a single-chip bench footprint)
+    B = 16             # near the reference's batchsize=20, mesh-friendly
+    IMG = 256          # the reference's NTU clip resolution (vid_dim 256)
     K = 15             # reference --num_samples
     args = _ntu_args()
 

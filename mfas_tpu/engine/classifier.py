@@ -113,8 +113,15 @@ class ClassifierEngine:
 
     def train_track_acc(self, tree, trainable_prefixes, dataloaders,
                         dataset_sizes, scheduler, num_epochs, seed=0,
-                        verbose=False, print_loss=True):
-        """Returns (best_dev_acc, best_tree)."""
+                        verbose=False, print_loss=True, state_path=None,
+                        resume=False):
+        """Returns (best_dev_acc, best_tree). With ``state_path``, the full
+        training state (params, Adam moments, scheduler, best-dev snapshot)
+        is checkpointed per epoch and ``resume=True`` continues a long run
+        (additive over the reference, SURVEY §5.4; the dropout RNG stream
+        restarts at the resumed epoch)."""
+        import os
+
         trainable, frozen = split_tree(self.model, tree, trainable_prefixes)
         if self.mesh is not None:
             trainable = pm.replicate_tree(trainable, self.mesh)
@@ -124,8 +131,26 @@ class ClassifierEngine:
 
         best_acc = 0.0
         best_tree = merge(trainable, frozen)
+        start_epoch = 0
 
-        for epoch in range(num_epochs):
+        if resume and state_path and os.path.exists(state_path):
+            from mfas_tpu.runtime.train_state import load_train_state
+            st = load_train_state(state_path,
+                                  tree_template=merge(trainable, frozen),
+                                  trainable_template=trainable,
+                                  scheduler=scheduler)
+            trainable, frozen = split_tree(self.model, st["tree"],
+                                           trainable_prefixes)
+            best_tree = st["best_tree"]
+            best_acc = st["best_acc"]
+            opt_state = st["opt_state"]
+            start_epoch = st["epoch"] + 1
+            rng = Rng(seed + start_epoch)
+            if verbose or print_loss:
+                print(f"Resuming training at epoch {start_epoch} "
+                      f"(best dev acc {best_acc:.4f})")
+
+        for epoch in range(start_epoch, num_epochs):
             for phase in ("train", "dev"):
                 running_loss, running_corrects = 0.0, 0.0
                 for batch in dataloaders[phase]:
@@ -149,6 +174,13 @@ class ClassifierEngine:
                 if phase == "dev" and epoch_acc > best_acc:
                     best_acc = epoch_acc
                     best_tree = merge(trainable, frozen)
+
+            if state_path:
+                from mfas_tpu.runtime.train_state import save_train_state
+                save_train_state(state_path, tree=merge(trainable, frozen),
+                                 best_tree=best_tree, opt_state=opt_state,
+                                 scheduler=scheduler, epoch=epoch,
+                                 best_acc=best_acc)
 
         return best_acc, best_tree
 
