@@ -7,14 +7,17 @@ reference's sequential candidate loop, at the NTU vertical's shapes.
 Measured on-device with synthetic NTU-shaped data:
   * sequential unit cost  = frozen-backbone forward + ONE candidate's
     fusion-head train step (the reference trains candidates one at a time,
-    re-running the backbones per candidate —
+    re-running the backbones for every one —
     models/search/ntu_searchable.py:38-102);
   * population unit cost  = the same backbone forward ONCE + one vmapped
     train step for the whole K-candidate population.
   speedup = K * t_sequential / t_population  (per search-epoch batch).
 
-Also reported: found-architecture full train-step throughput (clips/sec)
-and inference throughput.
+Timing methodology: the remote-tunneled backend defers execution past
+block_until_ready, so every measured region is a ``lax.scan`` of N steps
+with REAL data dependencies between iterations inside one jit, fenced by a
+scalar host transfer. Also reported: found-architecture train/infer
+throughput (clips/sec/chip).
 """
 
 import json
@@ -32,32 +35,30 @@ def _ntu_args(**kw):
     return types.SimpleNamespace(**d)
 
 
-def _time(fn, warmup=2, iters=5, inner=10):
-    """Median seconds per call; each measurement chains ``inner`` calls and
-    blocks once at the end, amortizing host-dispatch latency (this chip sits
-    behind a network tunnel, so single-call timings are noise-dominated)."""
-    import jax
+INNER = 4
+
+
+def _timeit(fn, warmup=1, iters=3):
+    """fn() must return a scalar jax array (fenced via host transfer)."""
     for _ in range(warmup):
-        fn()
+        float(np.asarray(fn()))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn()
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / inner)
+        float(np.asarray(fn()))
+        times.append((time.perf_counter() - t0) / INNER)
     return float(np.median(times))
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from mfas_tpu.core.optim import adam_init
     from mfas_tpu.fusion.ntu import (NTUFeatureExtractor,
                                      Searchable_Skeleton_Image_Net, tap_sizes)
-    from mfas_tpu.core.module import Ctx, Rng, merge, partition
+    from mfas_tpu.core.module import Rng, partition
     from mfas_tpu.engine.classifier import ClassifierEngine
     from mfas_tpu.search.population import (PopulationSpec, PopulationTrainer,
                                             encode_confs, init_population)
@@ -87,36 +88,52 @@ def main():
     confs_K = [np.array([rows[i % 32], rows[(7 * i) % 32]]) for i in range(K)]
     conf1 = [confs_K[0]]
 
-    def setup(confs):
-        params, bn = init_population(confs, spec, seed=0)
-        opt = adam_init(params)
-        enc = {k: jnp.asarray(v) for k, v in encode_confs(confs, spec).items()}
-        return params, bn, opt, enc
+    key = Rng(0).next()
+    zero = jnp.float32(0.0)  # traced zero: defeats constant folding/DCE
 
-    rng = Rng(0)
-    key = rng.next()
+    # ---- backbone feature extraction, INNER chained forwards
+    @jax.jit
+    def feats_loop(backbone_tree, rgb, ske, eps):
+        def body(acc, _):
+            fa, fb, lb, la = trainer._features_impl(
+                backbone_tree, (rgb + acc * eps, ske), key, True)
+            return jnp.sum(lb) + jnp.sum(fa[:, 0, 0]), None
 
-    # ---- backbone feature extraction (shared)
-    def feats_step():
-        return trainer._features(backbone_tree, (rgb, ske), key, train=True)
+        acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
+        return acc
 
-    t_backbone = _time(feats_step)
+    t_backbone = _timeit(lambda: feats_loop(backbone_tree, rgb, ske, zero))
+
     fa, fb, lb, la = trainer._features(backbone_tree, (rgb, ske), key,
                                        train=True)
 
-    # ---- head step, population of 1 (sequential unit) vs K
-    results = {}
-    for name, confs in (("seq1", conf1), ("popK", confs_K)):
-        params, bn, opt, enc = setup(confs)
+    # ---- head step, population of 1 (sequential unit) vs K: params/opt
+    # naturally chain between scan iterations (real training steps)
+    def make_pop_loop(confs):
+        params, bn = init_population(confs, spec, seed=0)
+        opt = adam_init(params)
+        enc = {k: jnp.asarray(v) for k, v in encode_confs(confs, spec).items()}
 
-        def head_step(params=params, bn=bn, opt=opt, enc=enc):
-            return trainer._train_step(params, bn, opt, enc, fa, fb, lb, la,
-                                       label, wmask, jnp.float32(1e-3), key)
+        @jax.jit
+        def loop(params, bn, opt):
+            def body(carry, _):
+                params, bn, opt = carry
+                params, bn, opt, loss_c, corr_c = trainer._train_step_impl(
+                    params, bn, opt, enc, fa, fb, lb, la, label, wmask,
+                    jnp.float32(1e-3), key)
+                return (params, bn, opt), jnp.sum(loss_c)
 
-        results[name] = _time(head_step)
+            carry, losses = lax.scan(body, (params, bn, opt), None,
+                                     length=INNER)
+            return jnp.sum(losses)
 
-    t_seq_candidate = t_backbone + results["seq1"]
-    t_pop = t_backbone + results["popK"]
+        return lambda: loop(params, bn, opt)
+
+    t_head_seq1 = _timeit(make_pop_loop(conf1))
+    t_head_popK = _timeit(make_pop_loop(confs_K))
+
+    t_seq_candidate = t_backbone + t_head_seq1
+    t_pop = t_backbone + t_head_popK
     speedup = K * t_seq_candidate / t_pop
 
     # ---- found-arch full train step throughput (clips/sec/chip)
@@ -129,16 +146,32 @@ def main():
     opt = adam_init(trainable)
     batch = {"rgb": rgb, "ske": ske, "label": label, "_mask": wmask}
 
-    def full_step():
-        return engine._train_step(trainable, frozen, opt, batch,
-                                  jnp.float32(1e-3), key)
+    @jax.jit
+    def full_loop(trainable, frozen, opt):
+        def body(carry, _):
+            trainable, frozen, opt = carry
+            trainable, frozen, opt, loss, corr = engine._train_step_impl(
+                trainable, frozen, opt, batch, jnp.float32(1e-3), key)
+            return (trainable, frozen, opt), loss
 
-    t_full = _time(full_step, warmup=2, iters=5)
+        carry, losses = lax.scan(body, (trainable, frozen, opt), None,
+                                 length=INNER)
+        return jnp.sum(losses)
 
-    def infer_step():
-        return engine._eval_step(trainable, frozen, batch)
+    t_full = _timeit(lambda: full_loop(trainable, frozen, opt))
 
-    t_infer = _time(infer_step, warmup=2, iters=5)
+    @jax.jit
+    def infer_loop(trainable, frozen, eps):
+        def body(acc, _):
+            b = dict(batch)
+            b["rgb"] = batch["rgb"] + acc * eps
+            loss, corr = engine._eval_step_impl(trainable, frozen, b)
+            return loss, None
+
+        acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
+        return acc
+
+    t_infer = _timeit(lambda: infer_loop(trainable, frozen, zero))
 
     print(json.dumps({
         "metric": "mfas_search_speedup_vs_sequential_candidates",
@@ -149,8 +182,8 @@ def main():
             "device": str(jax.devices()[0]),
             "batch": B, "img": IMG, "K": K,
             "t_backbone_s": round(t_backbone, 4),
-            "t_head_seq1_s": round(results["seq1"], 4),
-            "t_head_popK_s": round(results["popK"], 4),
+            "t_head_seq1_s": round(t_head_seq1, 4),
+            "t_head_popK_s": round(t_head_popK, 4),
             "found_train_clips_per_s": round(B / t_full, 2),
             "found_infer_clips_per_s": round(B / t_infer, 2),
         },

@@ -92,6 +92,8 @@ def parse_args():
                         help='persist resumable search state to this path')
     parser.add_argument('--resume_search', action='store_true', default=False,
                         help='resume from --search_state if it exists')
+    parser.add_argument('--bf16_features', action='store_true', default=False,
+                        help='bfloat16 frozen-backbone features during search')
     parser.add_argument('--jsonl_log', type=str, default='',
                         help='append structured search telemetry here')
     return parser.parse_args()

@@ -125,9 +125,13 @@ class Conv1d(Module):
 
 class _BatchNorm(Module):
     """torch BatchNorm semantics: biased batch var normalizes, unbiased batch
-    var feeds the running average; eval uses running stats. Per-shard stats
-    under data parallelism (the reference's per-GPU behavior, SURVEY §5.8);
-    pass ``axis_name`` to opt into cross-replica stats."""
+    var feeds the running average; eval uses running stats.
+
+    Sharding note (SURVEY §5.8): under jit/GSPMD data parallelism the batch
+    reductions here are *global-batch* — XLA inserts the cross-shard psum —
+    which is statistically stronger than the reference's per-GPU
+    DataParallel stats. ``axis_name`` exists for pmap/shard_map flows where
+    per-shard stats are the default and cross-replica stats are opt-in."""
 
     def __init__(self, num_features, eps=1e-5, momentum=0.1, affine=True,
                  track_running_stats=True, axis_name=None):

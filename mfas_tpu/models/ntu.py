@@ -57,6 +57,17 @@ class Visual(Module):
         return fm1, fm2, fm3, fm4, pooled, logits
 
 
+def hcn_motion(x):
+    """HCN motion branch (reference models/central/ntu.py:131-135):
+    temporal difference, bilinearly re-interpolated back to T frames.
+    x: (N, C, T, V, M) -> same shape."""
+    N, C, T, V, M = x.shape
+    motion = x[:, :, 1:] - x[:, :, :-1]                    # (N,C,T-1,V,M)
+    motion = jnp.transpose(motion, (0, 1, 4, 2, 3)).reshape(N, C * M, T - 1, V)
+    motion = F.interpolate_bilinear(motion, (T, V))
+    return jnp.transpose(motion.reshape(N, C, M, T, V), (0, 1, 3, 4, 2))
+
+
 class Skeleton(Module):
     """HCN co-occurrence net. Returns (hidden_taps[8], logits)."""
 
@@ -113,11 +124,7 @@ class Skeleton(Module):
         N, C, T, V, M = x.shape
         s = self.sub
 
-        # temporal-difference motion, bilinearly re-interpolated to T frames
-        motion = x[:, :, 1:] - x[:, :, :-1]                        # (N,C,T-1,V,M)
-        motion = jnp.transpose(motion, (0, 1, 4, 2, 3)).reshape(N, C * M, T - 1, V)
-        motion = F.interpolate_bilinear(motion, (T, V))
-        motion = jnp.transpose(motion.reshape(N, C, M, T, V), (0, 1, 3, 4, 2))
+        motion = hcn_motion(x)
 
         # fold persons into the batch: (N,C,T,V,M) -> (N*M, C, T, V)
         def fold(a):

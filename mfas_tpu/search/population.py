@@ -52,6 +52,10 @@ class PopulationSpec:
     use_alphas: bool = False
     multitask: bool = False
     weight_decay: float = 1e-4
+    # optional reduced-precision frozen-backbone features ('bfloat16'):
+    # the backbones are frozen during search, so feature precision only
+    # perturbs candidate scores, not the final found-arch training
+    feature_dtype: str | None = None
 
     @property
     def cmax_a(self):
@@ -254,12 +258,21 @@ class PopulationTrainer:
 
     # ----- backbone feature cache (shared across all candidates)
     def _features_impl(self, backbone_tree, inputs, rng, train):
+        if self.spec.feature_dtype:
+            dt = jnp.dtype(self.spec.feature_dtype)
+
+            def cast(x):
+                return x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+            backbone_tree = jax.tree_util.tree_map(cast, backbone_tree)
+            inputs = jax.tree_util.tree_map(cast, inputs)
         ctx = Ctx(train=train, rng=Rng(rng))
         taps_a, taps_b, logits_b, logits_a = self.extractor(
             backbone_tree, ctx, inputs)
-        fa = pad_taps(taps_a, self.spec.cmax_a)
-        fb = pad_taps(taps_b, self.spec.cmax_b)
-        return fa, fb, logits_b, logits_a
+        fa = pad_taps(taps_a, self.spec.cmax_a).astype(jnp.float32)
+        fb = pad_taps(taps_b, self.spec.cmax_b).astype(jnp.float32)
+        return (fa, fb, logits_b.astype(jnp.float32),
+                logits_a.astype(jnp.float32))
 
     # ----- population step
     def _losses(self, params, bn_state, conf, fa, fb, logits_b, logits_a,

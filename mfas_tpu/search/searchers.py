@@ -190,7 +190,9 @@ class NTUSearcher(ModelSearcher):
             sizes_a=tuple(sizes_ske), sizes_b=tuple(sizes_ims),
             hidden=args.inner_representation_size, num_outputs=args.num_outputs,
             max_rows=args.max_progression_levels, batchnorm=args.batchnorm,
-            drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask)
+            drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask,
+            feature_dtype="bfloat16" if getattr(args, "bf16_features", False)
+            else None)
 
         seq = SequentialSearchTrainer(backbone_tree, ("rgb", "ske"), mesh=mesh)
         if getattr(args, "sequential_candidates", False):

@@ -72,6 +72,28 @@ def test_visual_tap_contract_small():
     assert logits.shape == (1, 60)
 
 
+def test_hcn_motion_branch_matches_torch():
+    """Motion = temporal diff re-interpolated to T (reference
+    models/central/ntu.py:131-135), torch as oracle."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as TF
+    from mfas_tpu.models.ntu import hcn_motion
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 3, 16, 25, 2).astype(np.float32)
+    N, C, T, V, M = x.shape
+
+    xt = torch.from_numpy(x)
+    motion = xt[:, :, 1:] - xt[:, :, :-1]
+    motion = motion.permute(0, 1, 4, 2, 3).contiguous().view(N, C * M, T - 1, V)
+    motion = TF.interpolate(motion, size=(T, V), mode="bilinear",
+                            align_corners=False)
+    want = motion.view(N, C, M, T, V).permute(0, 1, 3, 4, 2).numpy()
+
+    got = np.asarray(hcn_motion(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_center_inflation_property():
     w2d = np.random.RandomState(0).randn(4, 3, 3, 3).astype(np.float32)
     w3d = inflate_weight(w2d, 3, "center")
