@@ -65,6 +65,38 @@ class ArrayLoader:
             yield batch
 
 
+def prefetch_to_device(iterator, size=2, sharding=None):
+    """Double-buffered host->device prefetch: the next batch's transfer
+    overlaps the current step's compute (the pinned-memory pipeline
+    replacement, SURVEY §2.1)."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+
+    def put(batch):
+        def place(x):
+            x = jnp.asarray(x)
+            return jax.device_put(x, sharding) if sharding is not None else x
+        queue.append({k: place(v) for k, v in batch.items()})
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 class MapLoader:
     """Indexable-dataset loader with threaded prefetch.
 

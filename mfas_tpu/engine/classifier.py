@@ -53,7 +53,7 @@ def split_tree(model, tree, trainable_prefixes=None):
 class ClassifierEngine:
     def __init__(self, model, multitask=False, weight_decay=1e-4,
                  input_keys=("image", "audio"), label_key="label",
-                 mesh=None, donate=False):
+                 mesh=None, donate=False, remat=False):
         # donation is off by default: the best-dev snapshot keeps live
         # references into the current param buffers
         self.model = model
@@ -62,6 +62,9 @@ class ClassifierEngine:
         self.input_keys = tuple(input_keys)
         self.label_key = label_key
         self.mesh = mesh
+        # remat: rematerialize the forward during backward — trades FLOPs
+        # for HBM so bigger clips/batches fit (jax.checkpoint)
+        self.remat = remat
 
         self._train_step = jax.jit(
             self._train_step_impl,
@@ -86,11 +89,17 @@ class ClassifierEngine:
         return loss, corrects
 
     def _train_step_impl(self, trainable, frozen, opt_state, batch, lr, rng):
-        def loss_fn(tr):
+        def fwd(tr, frozen, batch, rng):
             tree = merge(tr, frozen)
             ctx = Ctx(train=True, rng=Rng(rng))
             loss, corrects = self._forward(tree, ctx, batch)
             return loss, (ctx.updates, corrects)
+
+        if self.remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(tr):
+            return fwd(tr, frozen, batch, rng)
 
         (loss, (updates, corrects)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
