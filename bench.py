@@ -104,6 +104,23 @@ def main():
 
     t_backbone = _timeit(lambda: feats_loop(backbone_tree, rgb, ske, zero))
 
+    # bf16 frozen-backbone features (--bf16_features search option)
+    spec_bf16 = PopulationSpec(**{**spec.__dict__, "feature_dtype": "bfloat16"})
+    trainer_bf16 = PopulationTrainer(spec_bf16, extractor.apply, backbone_tree)
+
+    @jax.jit
+    def feats_loop_bf16(backbone_tree, rgb, ske, eps):
+        def body(acc, _):
+            fa, fb, lb, la = trainer_bf16._features_impl(
+                backbone_tree, (rgb + acc * eps, ske), key, True)
+            return jnp.sum(lb) + jnp.sum(fa[:, 0, 0]), None
+
+        acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
+        return acc
+
+    t_backbone_bf16 = _timeit(
+        lambda: feats_loop_bf16(backbone_tree, rgb, ske, zero))
+
     fa, fb, lb, la = trainer._features(backbone_tree, (rgb, ske), key,
                                        train=True)
 
@@ -182,6 +199,10 @@ def main():
             "device": str(jax.devices()[0]),
             "batch": B, "img": IMG, "K": K,
             "t_backbone_s": round(t_backbone, 4),
+            "t_backbone_bf16_s": round(t_backbone_bf16, 4),
+            "search_speedup_bf16_features": round(
+                K * (t_backbone_bf16 + t_head_seq1)
+                / (t_backbone_bf16 + t_head_popK), 3),
             "t_head_seq1_s": round(t_head_seq1, 4),
             "t_head_popK_s": round(t_head_popK, 4),
             "found_train_clips_per_s": round(B / t_full, 2),

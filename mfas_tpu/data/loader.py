@@ -107,12 +107,16 @@ class MapLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, num_workers: int = 4, prefetch: int = 2):
+                 seed: int = 0, num_workers: int = 4, prefetch: int = 2,
+                 deterministic: bool = False):
+        """deterministic=True runs fully synchronously on the caller's
+        thread — the single-threaded test mode of SURVEY §5.2."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.num_workers = max(1, int(num_workers))
         self.prefetch = prefetch
+        self.deterministic = deterministic
         self._rng = np.random.RandomState(seed)
 
     @property
@@ -132,6 +136,22 @@ class MapLoader:
         bs = self.batch_size
         batches = [idx[s:s + bs] for s in range(0, len(idx), bs)]
 
+        def collate(take):
+            samples = [self._fetch(i) for i in take]
+            n = len(samples)
+            while len(samples) < bs:
+                samples.append(samples[0])
+            batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            mask = np.zeros((bs,), np.float32)
+            mask[:n] = 1.0
+            batch["_mask"] = mask
+            return batch
+
+        if self.deterministic:
+            for take in batches:
+                yield collate(take)
+            return
+
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -140,16 +160,7 @@ class MapLoader:
                 for take in batches:
                     if stop.is_set():
                         return
-                    samples = [self._fetch(i) for i in take]
-                    n = len(samples)
-                    while len(samples) < bs:
-                        samples.append(samples[0])
-                    batch = {k: np.stack([s[k] for s in samples])
-                             for k in samples[0]}
-                    mask = np.zeros((bs,), np.float32)
-                    mask[:n] = 1.0
-                    batch["_mask"] = mask
-                    q.put(batch)
+                    q.put(collate(take))
             finally:
                 q.put(None)
 
