@@ -81,6 +81,17 @@ def parse_args():
                         help='save the final model (conf+acc filename, torch format)')
     parser.add_argument('--profile_dir', type=str, default='',
                         help='capture a jax profiler trace here')
+    parser.add_argument('--bf16', action='store_true', default=False,
+                        help='bfloat16 compute (float32 params/optimizer)')
+    parser.add_argument('--remat', action='store_true', default=False,
+                        help='rematerialize the forward in backward (saves HBM)')
+    parser.add_argument('--packed_datadir', type=str, default='',
+                        help='directory of packed stores (mfas_tpu.data.ntu_pack), '
+                             'subdirs train/dev/test; bypasses AVI decode')
+    parser.add_argument('--train_state', type=str, default='',
+                        help='per-epoch resumable training state path')
+    parser.add_argument('--resume', action='store_true', default=False,
+                        help='resume from --train_state if present')
     return parser.parse_args()
 
 
@@ -101,11 +112,21 @@ def get_dataloaders(args):
     tfm_val = d.Compose([d.NormalizeLen(args.vid_len)])
     tfm_tra = d.Compose([d.AugCrop(), d.NormalizeLen(args.vid_len)])
 
-    datasets = {
-        'train': d.NTU(args.datadir, transform=tfm_tra, stage='train', args=args),
-        'dev': d.NTU(args.datadir, transform=tfm_val, stage='dev', args=args),
-        'test': d.NTU(args.datadir, transform=tfm_val, stage='test', args=args),
-    }
+    if getattr(args, 'packed_datadir', ''):
+        import os
+        from mfas_tpu.data.ntu_pack import PackedNTU
+        datasets = {
+            k: PackedNTU(os.path.join(args.packed_datadir, k),
+                         transform=(tfm_tra if k == 'train' else tfm_val),
+                         args=args)
+            for k in ('train', 'dev', 'test')
+        }
+    else:
+        datasets = {
+            'train': d.NTU(args.datadir, transform=tfm_tra, stage='train', args=args),
+            'dev': d.NTU(args.datadir, transform=tfm_val, stage='dev', args=args),
+            'test': d.NTU(args.datadir, transform=tfm_val, stage='test', args=args),
+        }
     return {k: MapLoader(v, args.batchsize, shuffle=(k == 'train'),
                          num_workers=args.num_workers)
             for k, v in datasets.items()}
@@ -116,8 +137,10 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
     from mfas_tpu.engine.classifier import ClassifierEngine
 
     sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
-    engine = ClassifierEngine(model, multitask=args.multitask,
-                              input_keys=("rgb", "ske"), mesh=mesh)
+    engine = ClassifierEngine(
+        model, multitask=args.multitask, input_keys=("rgb", "ske"), mesh=mesh,
+        remat=getattr(args, 'remat', False),
+        compute_dtype="bfloat16" if getattr(args, 'bf16', False) else None)
 
     if args.test_cp == '':
         nbpe = sizes['train'] / args.batchsize
@@ -138,7 +161,9 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
             args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
         best_acc, tree = engine.train_track_acc(
             tree, None, {k: dataloaders[k] for k in ('train', 'dev')}, sizes,
-            scheduler, num_epochs=args.epochs, print_loss=args.verbose)
+            scheduler, num_epochs=args.epochs, print_loss=args.verbose,
+            state_path=getattr(args, 'train_state', '') or None,
+            resume=getattr(args, 'resume', False))
         if args.verbose:
             print('Final val accuracy: ' + str(best_acc))
 

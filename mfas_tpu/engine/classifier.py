@@ -53,7 +53,7 @@ def split_tree(model, tree, trainable_prefixes=None):
 class ClassifierEngine:
     def __init__(self, model, multitask=False, weight_decay=1e-4,
                  input_keys=("image", "audio"), label_key="label",
-                 mesh=None, donate=False, remat=False):
+                 mesh=None, donate=False, remat=False, compute_dtype=None):
         # donation is off by default: the best-dev snapshot keeps live
         # references into the current param buffers
         self.model = model
@@ -65,6 +65,10 @@ class ClassifierEngine:
         # remat: rematerialize the forward during backward — trades FLOPs
         # for HBM so bigger clips/batches fit (jax.checkpoint)
         self.remat = remat
+        # compute_dtype: mixed precision — params/Adam stay float32, the
+        # forward/backward runs in e.g. bfloat16 (MXU-native), losses and
+        # running-stat updates are folded back at float32
+        self.compute_dtype = compute_dtype
 
         self._train_step = jax.jit(
             self._train_step_impl,
@@ -72,9 +76,23 @@ class ClassifierEngine:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---------------- compiled bodies
+    def _cast_compute(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = jnp.dtype(self.compute_dtype)
+
+        def cast(x):
+            return x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+        return jax.tree_util.tree_map(cast, tree)
+
     def _forward(self, tree, ctx, batch):
-        inputs = tuple(batch[k] for k in self.input_keys)
+        tree = self._cast_compute(tree)
+        inputs = self._cast_compute(tuple(batch[k] for k in self.input_keys))
         out = self.model.apply(tree, ctx, inputs)
+        if self.compute_dtype is not None:
+            out = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), out)
         label = batch[self.label_key]
         w = batch["_mask"]
         if self.multitask:
@@ -105,6 +123,12 @@ class ClassifierEngine:
             loss_fn, has_aux=True)(trainable)
         trainable, opt_state = adam_update(
             trainable, grads, opt_state, lr, weight_decay=self.weight_decay)
+        if self.compute_dtype is not None:
+            # running stats computed at compute_dtype fold back at f32 so
+            # the frozen tree's dtypes stay stable across steps
+            updates = {k: (v.astype(jnp.float32)
+                           if jnp.issubdtype(v.dtype, jnp.floating) else v)
+                       for k, v in updates.items()}
         frozen = apply_updates(frozen, updates)
         return trainable, frozen, opt_state, loss, corrects
 
