@@ -222,6 +222,14 @@ class PopulationTrainer:
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
 
+        # dev-split features are deterministic (eval-mode backbone with
+        # checkpoint stats, deterministic transforms), so they are computed
+        # once per search and reused across every epoch of every candidate
+        # population — the sequential reference recomputes them ~600 times
+        # (197 candidates x 3 epochs)
+        self._dev_cache = None
+        self._dev_cache_key = None
+
     # ----- sharding helpers
     def _put(self, tree, spec_):
         if self.mesh is None:
@@ -327,6 +335,35 @@ class PopulationTrainer:
         return loss_c, corr_c
 
     # ----- host loop
+    def _dev_batches(self, loader, input_keys, label_key, rng,
+                     cache=True, max_cache_samples=50000):
+        """Yield (fa, fb, lb, la, label, wmask) for the dev split, cached
+        on device after the first pass."""
+        key = id(loader)
+        if cache and self._dev_cache is not None and self._dev_cache_key == key:
+            yield from self._dev_cache
+            return
+        collected = []
+        n = 0
+        for batch in loader:
+            inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
+                           for k in input_keys)
+            label = self._shard_data(jnp.asarray(batch[label_key]))
+            wmask = self._shard_data(jnp.asarray(batch["_mask"]))
+            fa, fb, lb, la = self._features(self.backbone_tree, inputs,
+                                            rng.next(), train=False)
+            item = (fa, fb, lb, la, label, wmask)
+            n += int(label.shape[0])
+            if cache and n <= max_cache_samples:
+                collected.append(item)
+            else:
+                cache = False
+                collected = []
+            yield item
+        if cache and collected:
+            self._dev_cache = collected
+            self._dev_cache_key = key
+
     def train_population(self, confs, dataloaders, dataset_sizes, scheduler,
                          num_epochs, input_keys, label_key="label", seed=0,
                          verbose=False):
@@ -346,24 +383,26 @@ class PopulationTrainer:
         for epoch in range(num_epochs):
             for phase in ("train", "dev"):
                 corrects = np.zeros((P,))
-                for batch in dataloaders[phase]:
-                    inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
-                                   for k in input_keys)
-                    label = self._shard_data(jnp.asarray(batch[label_key]))
-                    wmask = self._shard_data(jnp.asarray(batch["_mask"]))
-                    fa, fb, lb, la = self._features(
-                        self.backbone_tree, inputs, rng.next(),
-                        train=(phase == "train"))
-                    if phase == "train":
+                if phase == "train":
+                    for batch in dataloaders[phase]:
+                        inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
+                                       for k in input_keys)
+                        label = self._shard_data(jnp.asarray(batch[label_key]))
+                        wmask = self._shard_data(jnp.asarray(batch["_mask"]))
+                        fa, fb, lb, la = self._features(
+                            self.backbone_tree, inputs, rng.next(), train=True)
                         eta = scheduler.step()
                         params, bn_state, opt_state, loss_c, corr_c = \
                             self._train_step(params, bn_state, opt_state,
                                              conf, fa, fb, lb, la, label,
                                              wmask, jnp.float32(eta), rng.next())
-                    else:
+                        corrects += np.asarray(corr_c)
+                else:
+                    for fa, fb, lb, la, label, wmask in self._dev_batches(
+                            dataloaders["dev"], input_keys, label_key, rng):
                         loss_c, corr_c = self._eval_step(
                             params, bn_state, conf, fa, fb, lb, la, label, wmask)
-                    corrects += np.asarray(corr_c)
+                        corrects += np.asarray(corr_c)
 
                 acc = corrects / dataset_sizes[phase]
                 if verbose:
