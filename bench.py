@@ -177,6 +177,24 @@ def main():
 
     t_full = _timeit(lambda: full_loop(trainable, frozen, opt))
 
+    engine_bf16 = ClassifierEngine(model, multitask=True,
+                                   input_keys=("rgb", "ske"),
+                                   compute_dtype="bfloat16")
+
+    @jax.jit
+    def full_loop_bf16(trainable, frozen, opt):
+        def body(carry, _):
+            trainable, frozen, opt = carry
+            trainable, frozen, opt, loss, corr = engine_bf16._train_step_impl(
+                trainable, frozen, opt, batch, jnp.float32(1e-3), key)
+            return (trainable, frozen, opt), loss
+
+        carry, losses = lax.scan(body, (trainable, frozen, opt), None,
+                                 length=INNER)
+        return jnp.sum(losses)
+
+    t_full_bf16 = _timeit(lambda: full_loop_bf16(trainable, frozen, opt))
+
     @jax.jit
     def infer_loop(trainable, frozen, eps):
         def body(acc, _):
@@ -206,6 +224,7 @@ def main():
             "t_head_seq1_s": round(t_head_seq1, 4),
             "t_head_popK_s": round(t_head_popK, 4),
             "found_train_clips_per_s": round(B / t_full, 2),
+            "found_train_bf16_clips_per_s": round(B / t_full_bf16, 2),
             "found_infer_clips_per_s": round(B / t_infer, 2),
         },
     }))

@@ -282,3 +282,29 @@ class NTU:
         sample["rgb"] = np.asarray(sample["rgb"], np.float32)
         sample["ske"] = np.asarray(sample["ske"], np.float32)
         return sample
+
+
+if __name__ == "__main__":
+    # dataset smoke test (the reference ships one at datasets/ntu.py:281-326)
+    import argparse
+    import types
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--datadir", type=str, default="NTU")
+    parser.add_argument("--stage", type=str, default="train")
+    parser.add_argument("--batchsize", type=int, default=8)
+    parser.add_argument("--vid_len", type=int, nargs="+", default=(8, 32))
+    parser.add_argument("--modality", type=str, default="both")
+    parser.add_argument("--num_workers", type=int, default=4)
+    cli = parser.parse_args()
+
+    args = types.SimpleNamespace(modality=cli.modality, no_norm=False,
+                                 no_bad_skel=False)
+    tfm = Compose([NormalizeLen(tuple(cli.vid_len))])
+    ds = NTU(cli.datadir, transform=tfm, stage=cli.stage, args=args)
+    print(f"{cli.stage}: {len(ds)} samples")
+
+    from mfas_tpu.data.loader import MapLoader
+    for batch in MapLoader(ds, cli.batchsize, num_workers=cli.num_workers):
+        print("ske", batch["ske"].shape, ", rgb", batch["rgb"].shape,
+              ", label", batch["label"].shape)

@@ -147,7 +147,7 @@ class ClassifierEngine:
     def train_track_acc(self, tree, trainable_prefixes, dataloaders,
                         dataset_sizes, scheduler, num_epochs, seed=0,
                         verbose=False, print_loss=True, state_path=None,
-                        resume=False):
+                        resume=False, jsonl_log=None):
         """Returns (best_dev_acc, best_tree). With ``state_path``, the full
         training state (params, Adam moments, scheduler, best-dev snapshot)
         is checkpointed per epoch and ``resume=True`` continues a long run
@@ -204,6 +204,13 @@ class ClassifierEngine:
                 if print_loss:
                     print("{} Loss: {:.4f} Acc: {:.4f}".format(
                         phase, epoch_loss, epoch_acc))
+                if jsonl_log:
+                    import json
+                    with open(jsonl_log, "a") as f:
+                        f.write(json.dumps({
+                            "kind": "epoch", "phase": phase, "epoch": epoch,
+                            "loss": epoch_loss, "acc": epoch_acc,
+                            "lr": getattr(scheduler, "eta", None)}) + "\n")
                 if phase == "dev" and epoch_acc > best_acc:
                     best_acc = epoch_acc
                     best_tree = merge(trainable, frozen)
