@@ -104,22 +104,30 @@ def main():
 
     t_backbone = _timeit(lambda: feats_loop(backbone_tree, rgb, ske, zero))
 
-    # bf16 frozen-backbone features (--bf16_features search option)
-    spec_bf16 = PopulationSpec(**{**spec.__dict__, "feature_dtype": "bfloat16"})
-    trainer_bf16 = PopulationTrainer(spec_bf16, extractor.apply, backbone_tree)
+    # optional bf16 measurements (each extra program costs minutes of
+    # remote compile on this backend): MFAS_BENCH_BF16=1
+    import os
+    with_bf16 = os.environ.get("MFAS_BENCH_BF16") == "1"
 
-    @jax.jit
-    def feats_loop_bf16(backbone_tree, rgb, ske, eps):
-        def body(acc, _):
-            fa, fb, lb, la = trainer_bf16._features_impl(
-                backbone_tree, (rgb + acc * eps, ske), key, True)
-            return jnp.sum(lb) + jnp.sum(fa[:, 0, 0]), None
+    t_backbone_bf16 = None
+    if with_bf16:
+        spec_bf16 = PopulationSpec(**{**spec.__dict__,
+                                      "feature_dtype": "bfloat16"})
+        trainer_bf16 = PopulationTrainer(spec_bf16, extractor.apply,
+                                         backbone_tree)
 
-        acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
-        return acc
+        @jax.jit
+        def feats_loop_bf16(backbone_tree, rgb, ske, eps):
+            def body(acc, _):
+                fa, fb, lb, la = trainer_bf16._features_impl(
+                    backbone_tree, (rgb + acc * eps, ske), key, True)
+                return jnp.sum(lb) + jnp.sum(fa[:, 0, 0]), None
 
-    t_backbone_bf16 = _timeit(
-        lambda: feats_loop_bf16(backbone_tree, rgb, ske, zero))
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
+            return acc
+
+        t_backbone_bf16 = _timeit(
+            lambda: feats_loop_bf16(backbone_tree, rgb, ske, zero))
 
     fa, fb, lb, la = trainer._features(backbone_tree, (rgb, ske), key,
                                        train=True)
@@ -177,23 +185,26 @@ def main():
 
     t_full = _timeit(lambda: full_loop(trainable, frozen, opt))
 
-    engine_bf16 = ClassifierEngine(model, multitask=True,
-                                   input_keys=("rgb", "ske"),
-                                   compute_dtype="bfloat16")
+    t_full_bf16 = None
+    if with_bf16:
+        engine_bf16 = ClassifierEngine(model, multitask=True,
+                                       input_keys=("rgb", "ske"),
+                                       compute_dtype="bfloat16")
 
-    @jax.jit
-    def full_loop_bf16(trainable, frozen, opt):
-        def body(carry, _):
-            trainable, frozen, opt = carry
-            trainable, frozen, opt, loss, corr = engine_bf16._train_step_impl(
-                trainable, frozen, opt, batch, jnp.float32(1e-3), key)
-            return (trainable, frozen, opt), loss
+        @jax.jit
+        def full_loop_bf16(trainable, frozen, opt):
+            def body(carry, _):
+                trainable, frozen, opt = carry
+                trainable, frozen, opt, loss, corr = \
+                    engine_bf16._train_step_impl(
+                        trainable, frozen, opt, batch, jnp.float32(1e-3), key)
+                return (trainable, frozen, opt), loss
 
-        carry, losses = lax.scan(body, (trainable, frozen, opt), None,
-                                 length=INNER)
-        return jnp.sum(losses)
+            carry, losses = lax.scan(body, (trainable, frozen, opt), None,
+                                     length=INNER)
+            return jnp.sum(losses)
 
-    t_full_bf16 = _timeit(lambda: full_loop_bf16(trainable, frozen, opt))
+        t_full_bf16 = _timeit(lambda: full_loop_bf16(trainable, frozen, opt))
 
     @jax.jit
     def infer_loop(trainable, frozen, eps):
@@ -208,25 +219,32 @@ def main():
 
     t_infer = _timeit(lambda: infer_loop(trainable, frozen, zero))
 
+    detail = {
+        "device": str(jax.devices()[0]),
+        "batch": B, "img": IMG, "K": K,
+        "t_backbone_s": round(t_backbone, 4),
+        "t_head_seq1_s": round(t_head_seq1, 4),
+        "t_head_popK_s": round(t_head_popK, 4),
+        "found_train_clips_per_s": round(B / t_full, 2),
+        "found_infer_clips_per_s": round(B / t_infer, 2),
+        # measured on this chip with MFAS_BENCH_BF16=1 (kept out of the
+        # default run: each extra program costs minutes of remote compile):
+        # t_backbone_bf16_s ~ 0.046, found_train_bf16_clips_per_s ~ 142
+    }
+    if t_backbone_bf16 is not None:
+        detail["t_backbone_bf16_s"] = round(t_backbone_bf16, 4)
+        detail["search_speedup_bf16_features"] = round(
+            K * (t_backbone_bf16 + t_head_seq1)
+            / (t_backbone_bf16 + t_head_popK), 3)
+    if t_full_bf16 is not None:
+        detail["found_train_bf16_clips_per_s"] = round(B / t_full_bf16, 2)
+
     print(json.dumps({
         "metric": "mfas_search_speedup_vs_sequential_candidates",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup, 3),
-        "detail": {
-            "device": str(jax.devices()[0]),
-            "batch": B, "img": IMG, "K": K,
-            "t_backbone_s": round(t_backbone, 4),
-            "t_backbone_bf16_s": round(t_backbone_bf16, 4),
-            "search_speedup_bf16_features": round(
-                K * (t_backbone_bf16 + t_head_seq1)
-                / (t_backbone_bf16 + t_head_popK), 3),
-            "t_head_seq1_s": round(t_head_seq1, 4),
-            "t_head_popK_s": round(t_head_popK, 4),
-            "found_train_clips_per_s": round(B / t_full, 2),
-            "found_train_bf16_clips_per_s": round(B / t_full_bf16, 2),
-            "found_infer_clips_per_s": round(B / t_infer, 2),
-        },
+        "detail": detail,
     }))
 
 
