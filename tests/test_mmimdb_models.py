@@ -98,6 +98,37 @@ def test_weighted_bce_matches_reference_formula():
     assert got == pytest.approx(want, rel=1e-5)
 
 
+def test_vgg19_trunk_remap_against_torchvision_layout(tmp_path):
+    """torchvision vgg19 'features.N.*' keys map onto GP_VGG's 'vgg.N.*'
+    slots with matching shapes (conv indices 0,2,5,...,34)."""
+    from mfas_tpu.core.module import tree_set, flatten_tree
+    from mfas_tpu.models.vgg import remap_torchvision_vgg_keys
+    import jax.numpy as jnp
+
+    args = imdb_args()
+    net = M.GP_VGG(args)
+    tree = net.init(0)
+    flat = flatten_tree(tree)
+
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34]
+    fake_tv = {}
+    rs = np.random.RandomState(0)
+    for i in conv_idx:
+        w = flat[f"vgg.{i}.weight"]
+        fake_tv[f"features.{i}.weight"] = rs.randn(*w.shape).astype(np.float32)
+        fake_tv[f"features.{i}.bias"] = rs.randn(w.shape[0]).astype(np.float32)
+    fake_tv["classifier.0.weight"] = rs.randn(4096, 25088).astype(np.float32)
+
+    remapped = remap_torchvision_vgg_keys(fake_tv)
+    assert "classifier.0.weight" not in remapped
+    assert len(remapped) == 2 * len(conv_idx)
+    for k, v in remapped.items():
+        tree = tree_set(tree, k, jnp.asarray(v))
+    flat2 = flatten_tree(tree)
+    np.testing.assert_array_equal(np.asarray(flat2["vgg.34.weight"]),
+                                  fake_tv["features.34.weight"])
+
+
 def test_mmimdb_engine_trains(tmp_path):
     from mfas_tpu.core.sched import FixedScheduler
     from mfas_tpu.data.mm_imdb import MM_IMDB, MMIMDBLoader, make_synthetic_mmimdb
