@@ -22,6 +22,37 @@ SPLIT_SIZES = {"train": 15552, "test": 7799, "dev": 2608}
 TEXT_PAD_VALUE = -10.0
 
 
+class Normalize:
+    """Per-channel image normalization transform (:29-57)."""
+
+    def __init__(self, mean_vector, std_devs):
+        self.mean = np.asarray(mean_vector, np.float32)
+        self.std = np.asarray(std_devs, np.float32)
+
+    def __call__(self, sample):
+        image = np.asarray(sample["image"], np.float32)
+        image = (image - self.mean.reshape(-1, 1, 1)) / self.std.reshape(-1, 1, 1)
+        return {**sample, "image": image}
+
+
+class RandomModalityMuting:
+    """Randomly zero one modality (:63-82). The reference's version never
+    fires (``__call_`` typo); this one works and carries its own RNG."""
+
+    def __init__(self, p_muting=0.1, seed=0):
+        self.p_muting = p_muting
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, sample):
+        out = dict(sample)
+        if self.rng.rand() <= self.p_muting:
+            if self.rng.rand() <= 0.5:
+                out["image"] = np.zeros_like(sample["image"])
+            else:
+                out["text"] = np.zeros_like(sample["text"])
+        return out
+
+
 class MM_IMDB:
     def __init__(self, root_dir="", transform=None, stage="train",
                  feat_dim=100, average_text=False, len_data=None):

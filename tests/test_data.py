@@ -131,6 +131,20 @@ def test_avmnist_disk_roundtrip(tmp_path):
     assert abs(float(arrays["image"].mean())) < 5.0
 
 
+def test_mmimdb_transforms():
+    from mfas_tpu.data.mm_imdb import Normalize, RandomModalityMuting
+    rs = np.random.RandomState(0)
+    sample = {"image": rs.rand(3, 8, 8).astype(np.float32),
+              "text": rs.randn(5, 10).astype(np.float32),
+              "label": np.ones(4, np.float32), "textlen": 5}
+    out = Normalize((0.5, 0.5, 0.5), (0.25, 0.25, 0.25))(sample)
+    np.testing.assert_allclose(out["image"], (sample["image"] - 0.5) / 0.25,
+                               rtol=1e-6)
+    mute = RandomModalityMuting(p_muting=1.0, seed=0)
+    muted = mute(sample)
+    assert (np.all(muted["image"] == 0)) != (np.all(muted["text"] == 0))
+
+
 def test_mmimdb_loader_padding_and_f1(tmp_path):
     sklearn = pytest.importorskip("sklearn.metrics")
     n = make_synthetic_mmimdb(str(tmp_path), "train", n=10)
