@@ -21,8 +21,6 @@ replicated — XLA inserts the ICI all-reduce (replacing DataParallel).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -11,7 +11,6 @@ after each reduction (:257-285). Aux head reads the cell at 2/3 depth
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from mfas_tpu.core import functional as F

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from mfas_tpu.core import functional as F
 from mfas_tpu.core import init as I
 from mfas_tpu.core import layers as L
-from mfas_tpu.core.module import Ctx, Module, Sequential
+from mfas_tpu.core.module import Module, Sequential
 
 _KU = I.kaiming_uniform(0.0)
 

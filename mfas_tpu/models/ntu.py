@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from mfas_tpu.core import functional as F
 from mfas_tpu.core import init as I
 from mfas_tpu.core import layers as L
-from mfas_tpu.core.module import Ctx, Module, ModuleList, Sequential
+from mfas_tpu.core.module import Module, ModuleList, Sequential
 from mfas_tpu.models.resnet3d import inflated_resnet50
 
 _XU = I.xavier_uniform

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from mfas_tpu.core import functional as F
 from mfas_tpu.core import init as I
 from mfas_tpu.core.layers import BatchNorm2d, BatchNorm3d, Conv2d, Conv3d
-from mfas_tpu.core.module import Module, ModuleList, Sequential
+from mfas_tpu.core.module import Module, Sequential
 
 
 class Bottleneck3D(Module):

@@ -13,7 +13,6 @@ import os
 
 import numpy as np
 
-from mfas_tpu.core.module import tree_set
 from mfas_tpu.data import ntu as ntu_data
 from mfas_tpu.data.avmnist import load_avmnist_arrays
 from mfas_tpu.data.loader import ArrayLoader, MapLoader

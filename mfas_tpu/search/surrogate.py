@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from mfas_tpu.core import init as I
-from mfas_tpu.core.module import Ctx, Module, Rng, Sequential
+from mfas_tpu.core.module import Ctx, Module, Sequential
 from mfas_tpu.core.layers import Linear, Sigmoid
 from mfas_tpu.core.optim import adam_init, adam_update
 from mfas_tpu.core.rnn import LSTM

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from mfas_tpu.core.module import merge, tree_get, tree_set
+from mfas_tpu.core.module import tree_set
 from mfas_tpu.core.sched import LRCosineAnnealingScheduler
 from mfas_tpu.engine.classifier import ClassifierEngine
 from mfas_tpu.fusion.layers import shared_weight_key
