@@ -98,7 +98,7 @@ class AVMNISTSearcher(ModelSearcher):
         methods = {"train_sampled_fun": self.train_fn,
                    "get_layer_confs": f_avmnist.get_possible_layer_configurations}
         if not getattr(self.args, "randsearch", False):
-            surrogate = SimpleRecurrentSurrogate(100, 3, 100)
+            surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)
             return self._epnas(f_avmnist.Searchable_Audio_Image_Net,
                                {"model": surrogate}, self.dataloaders,
                                methods, self.device)
@@ -141,7 +141,7 @@ class CifarSearcher(ModelSearcher):
 
     def search(self):
         from mfas_tpu.fusion import cifar as f_cifar
-        surrogate = SimpleRecurrentSurrogate(100, 4, 100)
+        surrogate = SimpleRecurrentSurrogate(100, 4, 100, max_seq_len=self.args.max_progression_levels)
         methods = {"train_sampled_fun": self.train_fn,
                    "get_layer_confs": f_cifar.get_possible_layer_configurations}
         return self._epnas(f_cifar.Searchable_MicroCNN, {"model": surrogate},
@@ -202,7 +202,7 @@ class NTUSearcher(ModelSearcher):
                 mesh=mesh, sequential_fallback=seq)
 
     def search(self):
-        surrogate = SimpleRecurrentSurrogate(100, 3, 100)
+        surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)
         methods = {"train_sampled_fun": self.train_fn,
                    "get_layer_confs": f_ntu.get_possible_layer_configurations}
         return self._epnas(f_ntu.Searchable_Skeleton_Image_Net,

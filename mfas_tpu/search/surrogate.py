@@ -40,11 +40,22 @@ class _SurrogateNet(Module):
         self.lstm = LSTM(size_embedding, num_hidden)
         self.hid2val = Linear(num_hidden, 1, weight_init=_U01, bias_init=_B18)
 
-    def apply(self, tree, ctx, seq):
-        """seq: (L, B, feats) float -> (B, 1) in (0,1)."""
+    def apply(self, tree, ctx, seq, lengths=None):
+        """seq: (L, B, feats) float -> (B, 1) in (0,1). With ``lengths``
+        (B,) the prediction reads each sequence's own last step — the LSTM
+        state at step l-1 only depends on inputs 0..l-1, so zero padding
+        beyond a sequence's length cannot change its output; this lets all
+        seq-lengths share ONE padded compiled program (compile-count
+        discipline, docs/TPU_DESIGN.md §2)."""
         embeds = self.embedding(self.sub(tree, "embedding"), ctx, seq)
         outs, _ = self.lstm(self.sub(tree, "lstm"), ctx, embeds)
-        val = self.hid2val(self.sub(tree, "hid2val"), ctx, outs[-1])
+        if lengths is None:
+            last = outs[-1]
+        else:
+            idx = (jnp.asarray(lengths, jnp.int32) - 1)[None, :, None]
+            last = jnp.take_along_axis(outs, jnp.broadcast_to(
+                idx, (1,) + outs.shape[1:]), axis=0)[0]
+        val = self.hid2val(self.sub(tree, "hid2val"), ctx, last)
         return jax.nn.sigmoid(val)
 
 
@@ -59,25 +70,36 @@ class SimpleRecurrentSurrogate:
     """Stateful wrapper: params + persistent Adam state + jitted steps."""
 
     def __init__(self, num_hidden=100, number_input_feats=3,
-                 size_ebedding=100, seed=0):
+                 size_ebedding=100, seed=0, max_seq_len=4):
         self.net = _SurrogateNet(num_hidden, number_input_feats, size_ebedding)
         self.params = self.net.init(seed)
         self.opt_state = None
+        self.max_seq_len = max_seq_len
         self._predict = jax.jit(
-            lambda params, seq: self.net.apply(params, Ctx(), seq))
+            lambda params, seq, lengths: self.net.apply(params, Ctx(), seq,
+                                                        lengths))
         self._step = jax.jit(self._step_impl)
+
+    def _padded_len(self, L):
+        return max(self.max_seq_len, L)
 
     # ---------------- inference
     def eval_model(self, sequence_of_operations_np, device=None):
         """conf (L, feats) int array -> scalar predicted accuracy
-        (reference surrogate.py:52-60)."""
-        seq = np.asarray(sequence_of_operations_np, np.float32)[:, None, :]
-        return float(self._predict(self.params, jnp.asarray(seq))[0, 0])
+        (reference surrogate.py:52-60). Sequences pad to max_seq_len so all
+        lengths share one compiled program."""
+        conf = np.asarray(sequence_of_operations_np, np.float32)
+        L = len(conf)
+        Lp = self._padded_len(L)
+        seq = np.zeros((Lp, 1, conf.shape[-1]), np.float32)
+        seq[:L, 0] = conf
+        return float(self._predict(self.params, jnp.asarray(seq),
+                                   jnp.asarray([L], jnp.int32))[0, 0])
 
     # ---------------- training
-    def _step_impl(self, params, opt_state, seq, target, mask, lr):
+    def _step_impl(self, params, opt_state, seq, lengths, target, mask, lr):
         def loss_fn(p):
-            pred = self.net.apply(p, Ctx(), seq)
+            pred = self.net.apply(p, Ctx(), seq, lengths)
             sq = jnp.square(pred - target)[:, 0] * mask
             return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -88,28 +110,33 @@ class SimpleRecurrentSurrogate:
     def fit(self, dataset_conf, dataset_acc, num_epochs, lr):
         """dataset_conf: list of (L, N, feats) arrays grouped by seq length;
         dataset_acc: list of (N, 1). Returns the last batch loss
-        (reference surrogate.py:133-157)."""
+        (reference surrogate.py:133-157). Per-group full-batch steps are
+        preserved; groups pad to (max_seq_len, bucket) so the compiled step
+        is shared across groups."""
         if self.opt_state is None:
             self.opt_state = adam_init(self.params)
 
         padded = []
         for conf, acc in zip(dataset_conf, dataset_acc):
             L, N, F_ = conf.shape
+            Lp = self._padded_len(L)
             B = _bucket(N)
-            seq = np.zeros((L, B, F_), np.float32)
-            seq[:, :N] = conf
+            seq = np.zeros((Lp, B, F_), np.float32)
+            seq[:L, :N] = conf
+            lengths = np.full((B,), L, np.int32)
             tgt = np.zeros((B, 1), np.float32)
             tgt[:N] = acc
             mask = np.zeros((B,), np.float32)
             mask[:N] = 1.0
-            padded.append((jnp.asarray(seq), jnp.asarray(tgt), jnp.asarray(mask)))
+            padded.append((jnp.asarray(seq), jnp.asarray(lengths),
+                           jnp.asarray(tgt), jnp.asarray(mask)))
 
         loss = 0.0
         lr = jnp.float32(lr)
         for _ in range(num_epochs):
-            for seq, tgt, mask in padded:
+            for seq, lengths, tgt, mask in padded:
                 self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state, seq, tgt, mask, lr)
+                    self.params, self.opt_state, seq, lengths, tgt, mask, lr)
         return float(loss)
 
 

@@ -3,6 +3,7 @@
 import types
 
 import numpy as np
+import pytest
 
 from mfas_tpu.search import tools
 from mfas_tpu.search.surrogate import SimpleRecurrentSurrogate, SurrogateDataloader
@@ -101,6 +102,30 @@ def test_surrogate_learns_ranking():
     lo = surr.eval_model(np.array([[0, 0, 0]]))
     hi = surr.eval_model(np.array([[3, 0, 0]]))
     assert hi > lo
+
+
+def test_surrogate_length_masking_is_exact():
+    """Padded+length-masked prediction must equal the unpadded one: the
+    LSTM state at step l-1 is independent of later (padded) inputs."""
+    import jax.numpy as jnp
+    from mfas_tpu.core.module import Ctx
+
+    surr = SimpleRecurrentSurrogate(8, 3, 8, seed=0, max_seq_len=4)
+    conf = np.array([[1, 2, 0], [3, 0, 1]], np.float32)
+
+    # direct unpadded forward through the net
+    seq = jnp.asarray(conf[:, None, :])
+    want = float(surr.net.apply(surr.params, Ctx(), seq)[0, 0])
+    got = surr.eval_model(conf)
+    assert got == pytest.approx(want, abs=1e-6)
+
+    # garbage in the padding slots must not change the result
+    seq_pad = np.zeros((4, 1, 3), np.float32)
+    seq_pad[:2, 0] = conf
+    seq_pad[2:] = 99.0
+    got_pad = float(surr.net.apply(surr.params, Ctx(), jnp.asarray(seq_pad),
+                                   jnp.asarray([2]))[0, 0])
+    assert got_pad == pytest.approx(want, abs=1e-6)
 
 
 def test_randsearch_sampler_layer_spaces():
