@@ -219,9 +219,25 @@ def main():
 
     t_infer = _timeit(lambda: infer_loop(trainable, frozen, zero))
 
+    # ---- host input pipeline: native C++ gather+normalize throughput
+    # (no device compile involved)
+    from mfas_tpu.data import native as nat
+    store = np.random.RandomState(1).randint(
+        0, 256, (64, args.vid_len[0], IMG, IMG, 3), np.uint8)
+    idx = np.random.RandomState(2).randint(0, 64, B).astype(np.int64)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    nat.gather_normalize_u8(store, idx, mean, std)  # warmup/build
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = nat.gather_normalize_u8(store, idx, mean, std)
+    t_input = (time.perf_counter() - t0) / 10
+    input_gbps = out.nbytes * 1.25 / t_input / 1e9  # u8 read + f32 write
+
     detail = {
         "device": str(jax.devices()[0]),
         "batch": B, "img": IMG, "K": K,
+        "native_input_normalize_gbps": round(input_gbps, 2),
         "t_backbone_s": round(t_backbone, 4),
         "t_head_seq1_s": round(t_head_seq1, 4),
         "t_head_popK_s": round(t_head_popK, 4),

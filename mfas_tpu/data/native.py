@@ -84,7 +84,12 @@ def parse_skeleton(path, max_frames):
     return out, n
 
 
-def gather_normalize_u8(base, indices, mean, std, num_threads=4):
+def _default_threads(num_threads):
+    n = os.cpu_count() or 1
+    return max(1, min(num_threads if num_threads else n, n))
+
+
+def gather_normalize_u8(base, indices, mean, std, num_threads=None):
     """base: (N, ...) uint8 C-contiguous with trailing channel dim matching
     len(mean); -> (len(indices), ...) float32 = (base[idx]/255 - mean)/std."""
     base = np.ascontiguousarray(base)
@@ -101,11 +106,11 @@ def gather_normalize_u8(base, indices, mean, std, num_threads=4):
         base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(indices), int(np.prod(sample_shape)), _fptr(mean), _fptr(std),
-        len(mean), _fptr(out), num_threads)
+        len(mean), _fptr(out), _default_threads(num_threads))
     return out
 
 
-def gather_f32(base, indices, num_threads=4):
+def gather_f32(base, indices, num_threads=None):
     base = np.ascontiguousarray(base, np.float32)
     indices = np.ascontiguousarray(indices, np.int64)
     sample_shape = base.shape[1:]
@@ -116,5 +121,6 @@ def gather_f32(base, indices, num_threads=4):
     lib.mfas_gather_f32(
         _fptr(base),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(indices), int(np.prod(sample_shape)), _fptr(out), num_threads)
+        len(indices), int(np.prod(sample_shape)), _fptr(out),
+        _default_threads(num_threads))
     return out
