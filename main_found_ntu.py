@@ -190,6 +190,9 @@ def main():
     mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
         else None
 
+    if args.conf not in FOUND_CONFS:
+        raise SystemExit(f"--conf must be one of {sorted(FOUND_CONFS)} "
+                         f"(got {args.conf})")
     configuration = FOUND_CONFS[args.conf]
     model = Searchable_Skeleton_Image_Net(args, configuration)
     tree = model.init(0)
