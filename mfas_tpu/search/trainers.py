@@ -72,13 +72,19 @@ class SequentialSearchTrainer:
         self.mesh = mesh
 
     def __call__(self, sampled_configurations, searchable_type, dataloaders,
-                 args, device=None, state_dict=None):
+                 args, device=None, state_dict=None, return_model=()):
+        """return_model: indices of candidates whose (model, best_tree)
+        should be returned alongside the accuracies (reference
+        ntu_searchable.py:35-40, 96-103)."""
         state_dict = {} if state_dict is None else state_dict
         sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
         nbpe = sizes["train"] / args.batchsize
 
         accs = []
-        for configuration in sampled_configurations:
+        models = []
+        for idx, configuration in enumerate(sampled_configurations):
+            if return_model and idx not in return_model:
+                continue
             model = searchable_type(args, configuration)
             self._seed += 1
             tree = model.init(self._seed)
@@ -106,6 +112,10 @@ class SequentialSearchTrainer:
                 state_dict = get_central_states(model, best_tree, state_dict,
                                                 verbose=args.verbose)
             accs.append(float(best_acc))
+            if return_model:
+                models.append((model, best_tree))
+        if return_model:
+            return accs, models
         return accs
 
 

@@ -95,6 +95,22 @@ def test_maxpool_avgpool_match_torch():
         rtol=1e-5, atol=1e-6)
 
 
+def test_avg_pool_count_include_pad_false_matches_torch():
+    # used by AuxiliaryHead (aux_models.py:506)
+    x = np.random.RandomState(20).randn(1, 2, 9, 9).astype(np.float32)
+    want = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 5, stride=2, padding=0, count_include_pad=False)
+    got = F.avg_pool2d(jnp.asarray(x), 5, stride=2, padding=0,
+                       count_include_pad=False)
+    np.testing.assert_allclose(np.asarray(got), t2n(want), rtol=1e-5, atol=1e-6)
+    # and with actual padding where the flag changes results
+    want2 = torch.nn.functional.avg_pool2d(
+        torch.from_numpy(x), 3, stride=2, padding=1, count_include_pad=False)
+    got2 = F.avg_pool2d(jnp.asarray(x), 3, stride=2, padding=1,
+                        count_include_pad=False)
+    np.testing.assert_allclose(np.asarray(got2), t2n(want2), rtol=1e-5, atol=1e-6)
+
+
 def test_interpolate_bilinear_matches_torch():
     x = np.random.RandomState(7).randn(2, 3, 5, 1).astype(np.float32)
     want = torch.nn.functional.interpolate(

@@ -52,10 +52,25 @@ def test_main_found_ntu_smoke(tmp_path, monkeypatch, capsys):
         "--conf", "4", "--num_outputs", "3", "--batchsize", "3",
         "--epochs", "1", "--inner_representation_size", "8",
         "--vid_len", "2", "32", "--j", "2",
-        "--random_backbones", "--no-verbose",
+        "--random_backbones", "--no-verbose", "--save_checkpoint",
     ])
     out = capsys.readouterr().out
     assert "Model Acc:" in out
+    assert "Saved" in out
+
+    # saved full checkpoint round-trips through --test_cp (no training)
+    import glob, os
+    saved = glob.glob(str(tmp_path / "final_conf_*.checkpoint"))
+    assert saved
+    run_cli(m, monkeypatch, [
+        "main_found_ntu.py",
+        "--datadir", str(tmp_path), "--checkpointdir", str(tmp_path),
+        "--test_cp", os.path.basename(saved[0]),
+        "--conf", "4", "--num_outputs", "3", "--batchsize", "3",
+        "--inner_representation_size", "8", "--vid_len", "2", "32",
+        "--j", "2", "--no-verbose",
+    ])
+    assert "Model Acc:" in capsys.readouterr().out
 
 
 @pytest.mark.slow
