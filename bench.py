@@ -35,10 +35,11 @@ def _ntu_args(**kw):
     return types.SimpleNamespace(**d)
 
 
-INNER = 4
+INNER = 4        # scan length for backbone/full-train loops
+INNER_HEAD = 16  # cheap head steps need a longer chain for stable timing
 
 
-def _timeit(fn, warmup=1, iters=3):
+def _timeit(fn, warmup=1, iters=3, inner=INNER):
     """fn() must return a scalar jax array (fenced via host transfer)."""
     for _ in range(warmup):
         float(np.asarray(fn()))
@@ -46,7 +47,7 @@ def _timeit(fn, warmup=1, iters=3):
     for _ in range(iters):
         t0 = time.perf_counter()
         float(np.asarray(fn()))
-        times.append((time.perf_counter() - t0) / INNER)
+        times.append((time.perf_counter() - t0) / inner)
     return float(np.median(times))
 
 
@@ -149,13 +150,13 @@ def main():
                 return (params, bn, opt), jnp.sum(loss_c)
 
             carry, losses = lax.scan(body, (params, bn, opt), None,
-                                     length=INNER)
+                                     length=INNER_HEAD)
             return jnp.sum(losses)
 
         return lambda: loop(params, bn, opt)
 
-    t_head_seq1 = _timeit(make_pop_loop(conf1))
-    t_head_popK = _timeit(make_pop_loop(confs_K))
+    t_head_seq1 = _timeit(make_pop_loop(conf1), inner=INNER_HEAD)
+    t_head_popK = _timeit(make_pop_loop(confs_K), inner=INNER_HEAD)
 
     t_seq_candidate = t_backbone + t_head_seq1
     t_pop = t_backbone + t_head_popK
