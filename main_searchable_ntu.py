@@ -94,6 +94,9 @@ def parse_args():
                         help='resume from --search_state if it exists')
     parser.add_argument('--bf16_features', action='store_true', default=False,
                         help='bfloat16 frozen-backbone features during search')
+    parser.add_argument('--packed_datadir', type=str, default='',
+                        help='packed stores (mfas_tpu.data.ntu_pack) with '
+                             'subdirs trainexp/dev; bypasses AVI decode')
     parser.add_argument('--jsonl_log', type=str, default='',
                         help='append structured search telemetry here')
     return parser.parse_args()

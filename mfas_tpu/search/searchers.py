@@ -162,10 +162,17 @@ class NTUSearcher(ModelSearcher):
             ntu_data.AugCrop(seed=getattr(args, "data_seed", 0)),
             ntu_data.NormalizeLen(args.vid_len)])
 
-        ds_train = ntu_data.NTU(args.datadir, transform=tfm_tra,
-                                stage="trainexp", args=args)
-        ds_dev = ntu_data.NTU(args.datadir, transform=tfm_val,
-                              stage="dev", args=args)
+        if getattr(args, "packed_datadir", ""):
+            from mfas_tpu.data.ntu_pack import PackedNTU
+            ds_train = PackedNTU(os.path.join(args.packed_datadir, "trainexp"),
+                                 transform=tfm_tra, args=args)
+            ds_dev = PackedNTU(os.path.join(args.packed_datadir, "dev"),
+                               transform=tfm_val, args=args)
+        else:
+            ds_train = ntu_data.NTU(args.datadir, transform=tfm_tra,
+                                    stage="trainexp", args=args)
+            ds_dev = ntu_data.NTU(args.datadir, transform=tfm_val,
+                                  stage="dev", args=args)
         self.dataloaders = {
             "train": MapLoader(ds_train, args.batchsize, shuffle=True,
                                seed=getattr(args, "data_seed", 0),
