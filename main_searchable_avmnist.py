@@ -46,6 +46,10 @@ def parse_args():
     parser.add_argument('--no-verbose', dest='verbose', action='store_false',
                         default=True)
     parser.add_argument('--weightsharing', action='store_true', default=False)
+    parser.add_argument('--population_weightsharing', action='store_true',
+                        default=False,
+                        help='approximate weight sharing inside the fast '
+                             'population trainer')
     parser.add_argument('--alphas', action='store_true', default=False)
     parser.add_argument('--batchnorm', action='store_true', default=False)
     parser.add_argument('--multitask', action='store_true', default=False)

@@ -59,6 +59,11 @@ def parse_args():
                         action='store_false', default=True)
     parser.add_argument('--weightsharing', help='Weight sharing',
                         action='store_true', default=False)
+    parser.add_argument('--population_weightsharing', action='store_true',
+                        default=False,
+                        help='approximate weight sharing inside the fast '
+                             'population trainer (default: sharing uses the '
+                             'faithful sequential candidate loop)')
     parser.add_argument('--alphas', help='Use alphas', action='store_true',
                         default=False)
     parser.add_argument('--batchnorm', help='Use batch norm', action='store_true',

@@ -140,6 +140,104 @@ def pad_taps(taps, cmax):
 
 
 # --------------------------------------------------------------------------
+# weight sharing across search steps (reference ntu_searchable.py:123-175)
+# --------------------------------------------------------------------------
+def _row_spans(spec, conf_row, row_index):
+    na = spec.sizes_a[int(conf_row[0])]
+    nb = spec.sizes_b[int(conf_row[1])]
+    with_prev = row_index > 0
+    return na, nb, with_prev
+
+
+def extract_shared_states(params, bn_state, confs, spec, state_dict,
+                          verbose=False):
+    """Slice each candidate's padded row weights back to the TRUE shapes and
+    store them under the reference's '{i}.L_{in}_{out}.A_{act}' keys, in the
+    same nested Sequential layout the sequential trainer uses — the two
+    trainer modes share one state_dict format. Candidates are written in
+    population order (last wins per key, matching the final state after the
+    reference's sequential pass)."""
+    from mfas_tpu.fusion.layers import shared_weight_key
+
+    H, ca, cb = spec.hidden, spec.cmax_a, spec.cmax_b
+    W = np.asarray(params["W"])
+    b = np.asarray(params["b"])
+    for p, conf in enumerate(confs):
+        conf = np.asarray(conf)
+        for r in range(len(conf)):
+            na, nb, with_prev = _row_spans(spec, conf[r], r)
+            in_size = na + nb + (H if with_prev else 0)
+            pieces = [W[p, r, :, :na], W[p, r, :, ca:ca + nb]]
+            if with_prev:
+                pieces.append(W[p, r, :, ca + cb:ca + cb + H])
+            entry = {"0": {"weight": np.concatenate(pieces, axis=1),
+                           "bias": b[p, r].copy()}}
+            if spec.batchnorm:
+                # BN sits at Sequential slot 2 (Linear, act, BN, Dropout)
+                entry["2"] = {
+                    "weight": np.asarray(params["bn_scale"][p, r]).copy(),
+                    "bias": np.asarray(params["bn_bias"][p, r]).copy(),
+                    "running_mean": np.asarray(bn_state["mean"][p, r]).copy(),
+                    "running_var": np.asarray(bn_state["var"][p, r]).copy(),
+                    "num_batches_tracked": np.asarray(0, np.int32),
+                }
+            key = shared_weight_key(r, in_size, H, conf[r, 2])
+            if verbose:
+                print(("Updating" if key in state_dict else "Creating")
+                      + " shared weight with ID: {}".format(key))
+            state_dict[key] = entry
+    return state_dict
+
+
+def inject_shared_states(params, bn_state, confs, spec, state_dict,
+                         verbose=False):
+    """Load stored true-shape layers into the padded population slots where
+    the '{i}.L_{in}_{out}.A_{act}' key matches."""
+    from mfas_tpu.fusion.layers import shared_weight_key
+
+    H, ca, cb = spec.hidden, spec.cmax_a, spec.cmax_b
+    W = np.asarray(params["W"]).copy()
+    b = np.asarray(params["b"]).copy()
+    bn_scale = (np.asarray(params["bn_scale"]).copy()
+                if spec.batchnorm else None)
+    bn_bias = (np.asarray(params["bn_bias"]).copy()
+               if spec.batchnorm else None)
+    mean = np.asarray(bn_state["mean"]).copy()
+    var = np.asarray(bn_state["var"]).copy()
+
+    for p, conf in enumerate(confs):
+        conf = np.asarray(conf)
+        for r in range(len(conf)):
+            na, nb, with_prev = _row_spans(spec, conf[r], r)
+            in_size = na + nb + (H if with_prev else 0)
+            key = shared_weight_key(r, in_size, H, conf[r, 2])
+            if key not in state_dict:
+                continue
+            entry = state_dict[key]
+            lw = np.asarray(entry["0"]["weight"])
+            W[p, r, :, :na] = lw[:, :na]
+            W[p, r, :, ca:ca + nb] = lw[:, na:na + nb]
+            if with_prev:
+                W[p, r, :, ca + cb:ca + cb + H] = lw[:, na + nb:]
+            b[p, r] = np.asarray(entry["0"]["bias"])
+            if spec.batchnorm and "2" in entry:
+                bn_scale[p, r] = np.asarray(entry["2"]["weight"])
+                bn_bias[p, r] = np.asarray(entry["2"]["bias"])
+                mean[p, r] = np.asarray(entry["2"]["running_mean"])
+                var[p, r] = np.asarray(entry["2"]["running_var"])
+            if verbose:
+                print("Loaded shared weight with ID: {}".format(key))
+
+    params = dict(params)
+    params["W"] = jnp.asarray(W)
+    params["b"] = jnp.asarray(b)
+    if spec.batchnorm:
+        params["bn_scale"] = jnp.asarray(bn_scale)
+        params["bn_bias"] = jnp.asarray(bn_bias)
+    return params, {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}
+
+
+# --------------------------------------------------------------------------
 # per-candidate forward (vmapped over the population axis)
 # --------------------------------------------------------------------------
 def _candidate_forward(spec, params_c, bn_c, conf_c, feats_a, feats_b,
@@ -366,13 +464,23 @@ class PopulationTrainer:
 
     def train_population(self, confs, dataloaders, dataset_sizes, scheduler,
                          num_epochs, input_keys, label_key="label", seed=0,
-                         verbose=False):
+                         verbose=False, shared_state_dict=None):
         """Returns per-candidate best dev accuracy (reference
-        train_sampled_models contract: list of floats)."""
+        train_sampled_models contract: list of floats).
+
+        shared_state_dict: optional weight-sharing store (population-mode
+        approximation of ntu_searchable.py:123-175 — injected before
+        training, extracted from the FINAL population state after; the
+        intra-batch sequential propagation of the reference cannot exist on
+        a parallel population)."""
         spec = self.spec
         conf = self._shard_pop(
             {k: jnp.asarray(v) for k, v in encode_confs(confs, spec).items()})
         params, bn_state = init_population(confs, spec, seed)
+        if shared_state_dict is not None:
+            params, bn_state = inject_shared_states(
+                params, bn_state, confs, spec, shared_state_dict,
+                verbose=verbose)
         params = self._shard_pop(params)
         bn_state = self._shard_pop(bn_state)
         opt_state = adam_init(params)
@@ -411,4 +519,7 @@ class PopulationTrainer:
                 if phase == "dev":
                     best = np.maximum(best, acc)
 
+        if shared_state_dict is not None:
+            extract_shared_states(params, bn_state, confs, spec,
+                                  shared_state_dict, verbose=verbose)
         return [float(a) for a in best], params, bn_state

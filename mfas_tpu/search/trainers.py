@@ -228,14 +228,21 @@ class PopulationSearchTrainer:
 
     def __call__(self, sampled_configurations, searchable_type, dataloaders,
                  args, device=None, state_dict=None):
+        shared = None
         if getattr(args, "weightsharing", False):
-            # sequential weight propagation between candidates is inherently
-            # order-dependent; route through the faithful path
-            if self.sequential_fallback is None:
-                raise ValueError("weightsharing requires a sequential fallback trainer")
-            return self.sequential_fallback(
-                sampled_configurations, searchable_type, dataloaders, args,
-                device, state_dict=state_dict)
+            if getattr(args, "population_weightsharing", False):
+                # fast approximate mode: inject before / extract after the
+                # whole population (the reference's intra-batch sequential
+                # propagation has no parallel equivalent)
+                shared = state_dict if state_dict is not None else {}
+            else:
+                # faithful path: sequential candidate-to-candidate sharing
+                if self.sequential_fallback is None:
+                    raise ValueError(
+                        "weightsharing requires a sequential fallback trainer")
+                return self.sequential_fallback(
+                    sampled_configurations, searchable_type, dataloaders,
+                    args, device, state_dict=state_dict)
 
         sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
         scheduler = LRCosineAnnealingScheduler(
@@ -250,5 +257,5 @@ class PopulationSearchTrainer:
         accs, _, _ = self.trainer.train_population(
             sampled_configurations, dataloaders, sizes, scheduler,
             num_epochs=args.epochs, input_keys=self.input_keys,
-            seed=self._seed, verbose=args.verbose)
+            seed=self._seed, verbose=args.verbose, shared_state_dict=shared)
         return accs
