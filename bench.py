@@ -67,7 +67,16 @@ def main():
     B = 16             # near the reference's batchsize=20, mesh-friendly
     IMG = 256          # the reference's NTU clip resolution (vid_dim 256)
     K = 15             # reference --num_samples
-    args = _ntu_args()
+    if jax.default_backend() == "cpu":
+        # safety net: without an accelerator the 256px ResNet-50 scans
+        # would take tens of minutes per measurement — shrink the footprint
+        # hard so the harness still completes (numbers then reflect CPU,
+        # not TPU)
+        global INNER, INNER_HEAD
+        B, IMG, INNER, INNER_HEAD = 2, 32, 1, 2
+        args = _ntu_args(vid_len=(2, 32))
+    else:
+        args = _ntu_args()
 
     rs = np.random.RandomState(0)
     rgb = jnp.asarray(rs.randn(B, args.vid_len[0], IMG, IMG, 3), jnp.float32)
@@ -103,7 +112,7 @@ def main():
         acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
         return acc
 
-    t_backbone = _timeit(lambda: feats_loop(backbone_tree, rgb, ske, zero))
+    t_backbone = _timeit(lambda: feats_loop(backbone_tree, rgb, ske, zero), inner=INNER)
 
     # optional bf16 measurements (each extra program costs minutes of
     # remote compile on this backend): MFAS_BENCH_BF16=1
@@ -128,7 +137,8 @@ def main():
             return acc
 
         t_backbone_bf16 = _timeit(
-            lambda: feats_loop_bf16(backbone_tree, rgb, ske, zero))
+            lambda: feats_loop_bf16(backbone_tree, rgb, ske, zero),
+            inner=INNER)
 
     fa, fb, lb, la = trainer._features(backbone_tree, (rgb, ske), key,
                                        train=True)
@@ -184,7 +194,7 @@ def main():
                                  length=INNER)
         return jnp.sum(losses)
 
-    t_full = _timeit(lambda: full_loop(trainable, frozen, opt))
+    t_full = _timeit(lambda: full_loop(trainable, frozen, opt), inner=INNER)
 
     t_full_bf16 = None
     if with_bf16:
@@ -205,7 +215,7 @@ def main():
                                      length=INNER)
             return jnp.sum(losses)
 
-        t_full_bf16 = _timeit(lambda: full_loop_bf16(trainable, frozen, opt))
+        t_full_bf16 = _timeit(lambda: full_loop_bf16(trainable, frozen, opt), inner=INNER)
 
     @jax.jit
     def infer_loop(trainable, frozen, eps):
@@ -218,7 +228,7 @@ def main():
         acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
         return acc
 
-    t_infer = _timeit(lambda: infer_loop(trainable, frozen, zero))
+    t_infer = _timeit(lambda: infer_loop(trainable, frozen, zero), inner=INNER)
 
     # ---- host input pipeline: native C++ gather+normalize throughput
     # (no device compile involved)
