@@ -63,6 +63,20 @@ def test_main_found_mmimdb_smoke(tmp_path, monkeypatch, capsys):
     assert "Model F1:" in out
 
 
+def test_main_found_cifar_smoke(tmp_path, monkeypatch, capsys):
+    import main_found_cifar as m
+    from mfas_tpu.data.cifar import make_synthetic_cifar
+    make_synthetic_cifar(str(tmp_path), n_per_batch=10)
+    run_cli(m, monkeypatch, [
+        "main_found_cifar.py",
+        "--data_dir", str(tmp_path), "--checkpointdir", str(tmp_path),
+        "--batchsize", "8", "--planes", "8", "--net_str", "1", "2", "1",
+        "--epochs", "1", "--no-verbose", "--use_intermediate",
+    ])
+    out = capsys.readouterr().out
+    assert "Model Acc:" in out
+
+
 def test_main_searchable_avmnist_tiny_search(tmp_path, monkeypatch, capsys):
     import main_searchable_avmnist as m
     make_synthetic_avmnist(str(tmp_path / "data"), n_train=64, n_test=16)
