@@ -88,6 +88,11 @@ def parse_args():
     parser.add_argument('--packed_datadir', type=str, default='',
                         help='directory of packed stores (mfas_tpu.data.ntu_pack), '
                              'subdirs train/dev/test; bypasses AVI decode')
+    parser.add_argument('--device_input_normalize', action='store_true',
+                        default=False,
+                        help='ship raw uint8 clips and normalize on-device '
+                             'via the fused Pallas kernel (needs '
+                             '--packed_datadir)')
     parser.add_argument('--train_state', type=str, default='',
                         help='per-epoch resumable training state path')
     parser.add_argument('--resume', action='store_true', default=False,
@@ -118,7 +123,9 @@ def get_dataloaders(args):
         datasets = {
             k: PackedNTU(os.path.join(args.packed_datadir, k),
                          transform=(tfm_tra if k == 'train' else tfm_val),
-                         args=args)
+                         args=args,
+                         device_normalize=getattr(args, 'device_input_normalize',
+                                                  False))
             for k in ('train', 'dev', 'test')
         }
     else:
@@ -137,10 +144,15 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
     from mfas_tpu.engine.classifier import ClassifierEngine
 
     sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
+    batch_prep = None
+    if getattr(args, 'device_input_normalize', False):
+        from mfas_tpu.data.ntu_pack import make_device_normalize_prep
+        batch_prep = make_device_normalize_prep()
     engine = ClassifierEngine(
         model, multitask=args.multitask, input_keys=("rgb", "ske"), mesh=mesh,
         remat=getattr(args, 'remat', False),
-        compute_dtype="bfloat16" if getattr(args, 'bf16', False) else None)
+        compute_dtype="bfloat16" if getattr(args, 'bf16', False) else None,
+        batch_prep=batch_prep)
 
     if args.test_cp == '':
         nbpe = sizes['train'] / args.batchsize

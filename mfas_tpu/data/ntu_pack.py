@@ -79,10 +79,17 @@ def pack_ntu(root_dir, out_dir, stage, args=None, frames=DEFAULT_FRAMES,
 
 
 class PackedNTU:
-    """Indexable dataset over a packed store; drop-in for data.ntu.NTU."""
+    """Indexable dataset over a packed store; drop-in for data.ntu.NTU.
+
+    device_normalize=True ships RGB as raw uint8 (4x less host->device
+    traffic) and leaves the /255 + ImageNet normalize to the on-device
+    fused kernel (mfas_tpu.ops.input_kernels.u8_normalize, wired through
+    the engine's batch_prep hook) — the BASELINE north-star input path.
+    Temporal transforms (AugCrop/NormalizeLen RGB picks) are pure slicing
+    and commute with the normalize, so they still run on the host."""
 
     def __init__(self, packed_dir, transform=None, args=None,
-                 num_threads=2):
+                 num_threads=2, device_normalize=False):
         with open(os.path.join(packed_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.rgb = np.load(os.path.join(packed_dir, "rgb.npy"), mmap_mode="r")
@@ -92,6 +99,7 @@ class PackedNTU:
         self.transform = transform
         self.args = args
         self.num_threads = num_threads
+        self.device_normalize = device_normalize
         # cv2 frames are BGR; the reference normalizes with RGB-ordered
         # ImageNet stats on BGR data (datasets/ntu.py:266-267) — preserved.
         self._mean = ntu_data.IMAGENET_MEAN
@@ -107,9 +115,12 @@ class PackedNTU:
         video = np.zeros([1], np.float32)
         skeleton = np.zeros([1], np.float32)
         if modality in ("rgb", "both"):
-            video = native.gather_normalize_u8(
-                self.rgb[idx][None], np.asarray([0]), self._mean, self._std,
-                num_threads=self.num_threads)[0]
+            if self.device_normalize:
+                video = np.asarray(self.rgb[idx])  # raw uint8
+            else:
+                video = native.gather_normalize_u8(
+                    self.rgb[idx][None], np.asarray([0]), self._mean,
+                    self._std, num_threads=self.num_threads)[0]
         if modality in ("skeleton", "both"):
             skeleton = np.asarray(self.ske[idx, :, :self.ske_len[idx]],
                                   np.float32)
@@ -122,6 +133,27 @@ class PackedNTU:
         if self.transform:
             sample = self.transform(sample)
         sample["label"] = np.int32(sample["label"])
-        sample["rgb"] = np.asarray(sample["rgb"], np.float32)
+        rgb_dtype = np.uint8 if self.device_normalize else np.float32
+        sample["rgb"] = np.asarray(sample["rgb"], rgb_dtype)
         sample["ske"] = np.asarray(sample["ske"], np.float32)
         return sample
+
+
+def make_device_normalize_prep(use_pallas=None):
+    """Engine batch_prep hook: in-graph uint8 -> normalized float32 for the
+    'rgb' modality (fused Pallas kernel on TPU; identical XLA math on
+    backends without Mosaic)."""
+    import jax
+    from mfas_tpu.data.ntu import IMAGENET_MEAN, IMAGENET_STD
+    from mfas_tpu.ops.input_kernels import u8_normalize
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def prep(batch):
+        batch = dict(batch)
+        batch["rgb"] = u8_normalize(batch["rgb"], IMAGENET_MEAN,
+                                    IMAGENET_STD, use_pallas=use_pallas)
+        return batch
+
+    return prep

@@ -51,7 +51,8 @@ def split_tree(model, tree, trainable_prefixes=None):
 class ClassifierEngine:
     def __init__(self, model, multitask=False, weight_decay=1e-4,
                  input_keys=("image", "audio"), label_key="label",
-                 mesh=None, donate=False, remat=False, compute_dtype=None):
+                 mesh=None, donate=False, remat=False, compute_dtype=None,
+                 batch_prep=None):
         # donation is off by default: the best-dev snapshot keeps live
         # references into the current param buffers
         self.model = model
@@ -67,6 +68,9 @@ class ClassifierEngine:
         # forward/backward runs in e.g. bfloat16 (MXU-native), losses and
         # running-stat updates are folded back at float32
         self.compute_dtype = compute_dtype
+        # batch_prep: traced in-graph batch transform (e.g. the fused
+        # uint8 -> normalized-float input kernel for packed NTU batches)
+        self.batch_prep = batch_prep
 
         self._train_step = jax.jit(
             self._train_step_impl,
@@ -85,6 +89,8 @@ class ClassifierEngine:
         return jax.tree_util.tree_map(cast, tree)
 
     def _forward(self, tree, ctx, batch):
+        if self.batch_prep is not None:
+            batch = self.batch_prep(batch)
         tree = self._cast_compute(tree)
         inputs = self._cast_compute(tuple(batch[k] for k in self.input_keys))
         out = self.model.apply(tree, ctx, inputs)

@@ -68,6 +68,45 @@ def test_gather_f32_matches_numpy():
     np.testing.assert_array_equal(got, base[idx])
 
 
+def test_device_normalize_path_matches_host_path(tmp_path):
+    """PackedNTU(device_normalize=True) + the in-graph prep must produce
+    the same normalized clip as the host C++ path."""
+    cv2 = pytest.importorskip("cv2")
+    import types
+    import jax.numpy as jnp
+    from mfas_tpu.data.ntu_pack import (PackedNTU, make_device_normalize_prep,
+                                        pack_ntu)
+
+    rgb_dir = tmp_path / "nturgbd_rgb" / "avi_256x256_30"
+    ske_dir = tmp_path / "nturgbd_skeletons"
+    rgb_dir.mkdir(parents=True)
+    ske_dir.mkdir(parents=True)
+    name = "S001C001P001R001A001"
+    vw = cv2.VideoWriter(str(rgb_dir / f"{name}_rgb.avi"),
+                         cv2.VideoWriter_fourcc(*"MJPG"), 30, (32, 32))
+    rs = np.random.RandomState(0)
+    for _ in range(12):
+        vw.write(rs.randint(0, 255, (32, 32, 3), np.uint8))
+    vw.release()
+    make_skeleton_file(ske_dir / f"{name}.skeleton", num_frames=12)
+
+    args = types.SimpleNamespace(modality="both", no_norm=False,
+                                 no_bad_skel=False)
+    out = tmp_path / "packed"
+    pack_ntu(str(tmp_path), str(out), "train", args=args, frames=8,
+             max_skel_frames=32, verbose=False)
+
+    tfm = dntu.Compose([dntu.NormalizeLen((4, 16))])
+    host = PackedNTU(str(out), transform=tfm, args=args)[0]
+    dev = PackedNTU(str(out), transform=tfm, args=args,
+                    device_normalize=True)[0]
+    assert dev["rgb"].dtype == np.uint8
+
+    prep = make_device_normalize_prep(use_pallas=False)  # XLA math on CPU
+    got = np.asarray(prep({"rgb": jnp.asarray(dev["rgb"][None])})["rgb"][0])
+    np.testing.assert_allclose(got, host["rgb"], rtol=1e-5, atol=1e-5)
+
+
 def test_packed_ntu_roundtrip(tmp_path):
     cv2 = pytest.importorskip("cv2")
     import types
