@@ -189,7 +189,10 @@ class ClassifierEngine:
 
         for epoch in range(start_epoch, num_epochs):
             for phase in ("train", "dev"):
-                running_loss, running_corrects = 0.0, 0.0
+                # per-batch scalars stay on device until the phase ends so
+                # host dispatch pipelines ahead of execution (a per-batch
+                # float(loss) would force a sync every step)
+                loss_terms, correct_terms = [], []
                 for batch in dataloaders[phase]:
                     n_valid = float(np.sum(batch["_mask"]))
                     batch = self._place(batch)
@@ -200,9 +203,11 @@ class ClassifierEngine:
                                              batch, jnp.float32(eta), rng.next())
                     else:
                         loss, corrects = self._eval_step(trainable, frozen, batch)
-                    running_loss += float(loss) * n_valid
-                    running_corrects += float(corrects)
+                    loss_terms.append((loss, n_valid))
+                    correct_terms.append(corrects)
 
+                running_loss = sum(float(l) * n for l, n in loss_terms)
+                running_corrects = sum(float(c) for c in correct_terms)
                 epoch_loss = running_loss / dataset_sizes[phase]
                 epoch_acc = running_corrects / dataset_sizes[phase]
                 if print_loss:

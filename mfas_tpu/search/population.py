@@ -490,7 +490,9 @@ class PopulationTrainer:
         best = np.zeros((P,))
         for epoch in range(num_epochs):
             for phase in ("train", "dev"):
-                corrects = np.zeros((P,))
+                # device-side accumulation; one host fetch per phase so
+                # dispatch pipelines ahead of execution
+                correct_terms = []
                 if phase == "train":
                     for batch in dataloaders[phase]:
                         inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
@@ -504,13 +506,15 @@ class PopulationTrainer:
                             self._train_step(params, bn_state, opt_state,
                                              conf, fa, fb, lb, la, label,
                                              wmask, jnp.float32(eta), rng.next())
-                        corrects += np.asarray(corr_c)
+                        correct_terms.append(corr_c)
                 else:
                     for fa, fb, lb, la, label, wmask in self._dev_batches(
                             dataloaders["dev"], input_keys, label_key, rng):
                         loss_c, corr_c = self._eval_step(
                             params, bn_state, conf, fa, fb, lb, la, label, wmask)
-                        corrects += np.asarray(corr_c)
+                        correct_terms.append(corr_c)
+                corrects = np.sum(np.stack([np.asarray(c) for c in
+                                            correct_terms]), axis=0)
 
                 acc = corrects / dataset_sizes[phase]
                 if verbose:
