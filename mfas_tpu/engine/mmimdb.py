@@ -84,7 +84,7 @@ class MMIMDBEngine:
             for epoch in range(num_epochs):
                 for phase in ("train", "dev"):
                     preds_all, labels_all = [], []
-                    running_loss = 0.0
+                    loss_terms = []
                     for batch in dataloaders[phase]:
                         n_valid = float(np.sum(batch["_mask"]))
                         jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -94,7 +94,7 @@ class MMIMDBEngine:
                             trainable, frozen, opt_state, loss = step(
                                 trainable, frozen, opt_state, jb,
                                 jnp.float32(eta), rng.next())
-                            running_loss += float(loss) * n_valid
+                            loss_terms.append((loss, n_valid))
                         else:
                             step = self._get_step("eval", batch["text"].shape[1])
                             pred = np.asarray(step(trainable, frozen, jb))
@@ -103,6 +103,7 @@ class MMIMDBEngine:
                             labels_all.append(batch["label"][keep])
 
                     if phase == "train":
+                        running_loss = sum(float(l) * n for l, n in loss_terms)
                         epoch_loss = running_loss / dataset_sizes["train"]
                         if math.isnan(epoch_loss):
                             # NaN escape (reference :110-114)
