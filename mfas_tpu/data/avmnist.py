@@ -20,6 +20,29 @@ import numpy as np
 MNIST_MEAN, MNIST_STD = 0.1307, 0.3081
 
 
+class ToTensor:
+    """Reference transform (datasets/avmnist.py:10-18); arrays are already
+    numeric here so this just fixes dtypes."""
+
+    def __call__(self, sample):
+        return {"image": np.asarray(sample["image"], np.float32),
+                "audio": np.asarray(sample["audio"], np.float32),
+                "label": int(sample["label"])}
+
+
+class Normalize:
+    """Image-channel normalization (datasets/avmnist.py:21-53)."""
+
+    def __init__(self, mean_vector=(MNIST_MEAN,), std_devs=(MNIST_STD,)):
+        self.mean = np.asarray(mean_vector, np.float32)
+        self.std = np.asarray(std_devs, np.float32)
+
+    def __call__(self, sample):
+        image = np.asarray(sample["image"], np.float32)
+        image = (image - self.mean.reshape(-1, 1, 1)) / self.std.reshape(-1, 1, 1)
+        return {**sample, "image": image}
+
+
 def load_avmnist_arrays(root_dir, stage="train", normalize=True):
     """-> dict(image (N,1,28,28) f32, audio (N,1,112,112) f32, label (N,) i32)."""
     sub = "train" if stage == "train" else "test"
