@@ -179,32 +179,41 @@ class LateFusion(Module):
 
 
 class GMU(Module):
-    """Gated multimodal unit over the penultimate embeddings (:203-228)."""
+    """Gated multimodal unit over the penultimate embeddings (:203-228).
+
+    Skeleton tap = ``new_hidden[-2]`` (reference ``skeleton[0][-2]``), the
+    flattened pre-fc7 person-max map out7, whose width is
+    ``256 * max((vid_len[1]//16)**2, 1)``. The reference hardcodes
+    ``Linear(256, ...)``, which is only shape-consistent when
+    ``vid_len[1] <= 16`` — with its default window of 32 the shipped GMU
+    crashes. We size the gate and reduction from the actual tap width, so
+    shapes and state_dict match the reference exactly in every
+    configuration where the reference itself is loadable.
+    """
 
     def __init__(self, args):
         super().__init__()
         self.skeleton = Skeleton(args)
         self.visual = Visual(args)
         n = getattr(args, "num_classes", args.num_outputs)
-        self.skel_redu = Sequential(L.Linear(256, 128), L.ReLU(), L.Dropout2d(args.drpt))
-        self.vis_redu = Sequential(L.Linear(2048, 128), L.ReLU(), L.Dropout2d(args.drpt))
-        self.ponderation = Sequential(L.Linear(256 + 2048, 1), L.Sigmoid())
+        self.ske_dim = 256 * max((args.vid_len[1] // 16) ** 2, 1)
+        self.skel_redu = Sequential(L.Linear(self.ske_dim, 128), L.ReLU(),
+                                    L.Dropout2d(args.drpt))
+        self.vis_redu = Sequential(L.Linear(2048, 128), L.ReLU(),
+                                   L.Dropout2d(args.drpt))
+        self.ponderation = Sequential(L.Linear(self.ske_dim + 2048, 1),
+                                      L.Sigmoid())
         self.final_pred = L.Linear(128, n)
 
     def apply(self, tree, ctx, inputs):
         frames, skeleton = inputs
         s = self.sub
         hidden, _ = self.skeleton(s(tree, "skeleton"), ctx, skeleton)
-        ske = hidden[-2]  # fc7 512-d? reference picks hidden[0][-2] == fc7 input path
-        # reference: skeleton[0][-2] is the fc7 embedding (512-d). But
-        # skel_redu expects 256 in the reference — it indexes new_hidden[-2]
-        # = out7 only when window yields 256. We follow the declared Linear
-        # sizes: use the 256-d slice of the fc7 embedding's predecessor.
-        ske = hidden[-1][:, :256] if hidden[-1].shape[-1] >= 256 else hidden[-1]
-        vis = self.visual(s(tree, "visual"), ctx, frames)[-2]
+        ske = hidden[-2]  # flattened out7 (reference skeleton[0][-2])
+        vis = self.visual(s(tree, "visual"), ctx, frames)[-2]  # pooled 2048-d
         z = self.ponderation(s(tree, "ponderation"), ctx,
-                             jnp.concatenate([vis[:, :2048], ske[:, :256]], axis=1))
-        ske = self.skel_redu(s(tree, "skel_redu"), ctx, ske[:, :256])
+                             jnp.concatenate([vis, ske], axis=1))
+        ske = self.skel_redu(s(tree, "skel_redu"), ctx, ske)
         vis = self.vis_redu(s(tree, "vis_redu"), ctx, vis)
         h = z * ske + (1.0 - z) * vis
         return self.final_pred(s(tree, "final_pred"), ctx, h)

@@ -39,6 +39,47 @@ def test_gmu_forward():
     tree = net.init(0)
     out = net(tree, Ctx(train=False), _inputs())
     assert out.shape == (1, 60)
+    # gate sized from the flattened-out7 tap: 256*(32//16)^2 = 1024 at the
+    # default window; equals the reference's hardcoded 256 at window<=16
+    flat = flatten_tree(tree)
+    assert flat["skel_redu.0.weight"].shape == (128, 1024)
+    assert flat["ponderation.0.weight"].shape == (1, 2048 + 1024)
+    args16 = ntu_args(vid_len=(2, 16))
+    flat16 = flatten_tree(GMU(args16).init(0))
+    assert flat16["skel_redu.0.weight"].shape == (128, 256)
+    assert flat16["ponderation.0.weight"].shape == (1, 2048 + 256)
+
+
+def test_gmu_uses_out7_tap_not_fc7():
+    """Pin the tap identity: zeroing fc7/fc8 weights must NOT change the
+    GMU output (the gate reads the pre-fc7 flattened map out7)."""
+    args = ntu_args(drpt=0.0)
+    net = GMU(args)
+    tree = net.init(0)
+    # random-init ResNet activations (~1e2) saturate the sigmoid gate and
+    # drown the skeleton branch below float32 resolution; zero the gate's
+    # visual columns so z is driven by the skeleton tap alone and the test
+    # can observe which tap feeds it
+    w = tree["ponderation"]["0"]["weight"]
+    tree["ponderation"]["0"]["weight"] = w.at[:, :2048].set(0.0)
+    inputs = _inputs()
+    base = np.asarray(net(tree, Ctx(train=False), inputs))
+
+    import copy
+    t2 = copy.deepcopy(tree)
+    t2["skeleton"]["fc8"]["weight"] = jnp.zeros_like(
+        t2["skeleton"]["fc8"]["weight"])
+    t2["skeleton"]["fc7"]["0"]["weight"] = jnp.zeros_like(
+        t2["skeleton"]["fc7"]["0"]["weight"])
+    out = np.asarray(net(t2, Ctx(train=False), inputs))
+    np.testing.assert_array_equal(out, base)
+
+    # ...while zeroing conv6 (which feeds out7) MUST change it
+    t3 = copy.deepcopy(tree)
+    t3["skeleton"]["conv6"]["0"]["weight"] = jnp.zeros_like(
+        t3["skeleton"]["conv6"]["0"]["weight"])
+    out3 = np.asarray(net(t3, Ctx(train=False), inputs))
+    assert not np.allclose(out3, base)
 
 
 def test_centralnet_forward_and_param_keys():
