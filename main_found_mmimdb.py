@@ -29,6 +29,9 @@ def parse_args():
     parser.add_argument('--fusetype', type=str, default='cat')
     parser.add_argument('--pos_weight', type=float, default=2.0)
     parser.add_argument('--th_fscore', type=float, default=0.3)
+    parser.add_argument('--stable_bce', action='store_true', default=False,
+                        help='exact logsumexp BCE instead of the reference '
+                             'formula (which overflow-NaNs at |logit|~90)')
     parser.add_argument('--batchsize', type=int, default=64)
     parser.add_argument('--epochs', type=int, default=50)
     parser.add_argument('--eta_max', type=float, default=0.001)
@@ -103,7 +106,8 @@ def main():
         sizes[stage] = len(ds)
 
     engine = MMIMDBEngine(model, pos_weight=args.pos_weight,
-                          th_fscore=args.th_fscore)
+                          th_fscore=args.th_fscore,
+                          stable_bce=args.stable_bce)
 
     start = time.time()
     if not args.test_cp:

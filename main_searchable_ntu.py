@@ -102,6 +102,10 @@ def parse_args():
     parser.add_argument('--packed_datadir', type=str, default='',
                         help='packed stores (mfas_tpu.data.ntu_pack) with '
                              'subdirs trainexp/dev; bypasses AVI decode')
+    parser.add_argument('--device_input_normalize', action='store_true',
+                        default=False,
+                        help='with --packed_datadir: ship raw uint8 clips '
+                             'and run the fused normalize on-device')
     parser.add_argument('--jsonl_log', type=str, default='',
                         help='append structured search telemetry here')
     return parser.parse_args()

@@ -199,14 +199,31 @@ def cross_entropy(logits, labels, weights=None):
     return jnp.sum(nll * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
-def weighted_bce_with_logits(logits, targets, pos_weight):
-    """Reference WeightedCrossEntropyWithLogits
-    (models/auxiliary/aux_models.py:129-147):
-    mean( w*z*-log(sigmoid(x)) + (1-z)*-log(1-sigmoid(x)) )."""
-    x = jax.nn.sigmoid(logits)
+def weighted_bce_elements(logits, targets, pos_weight, stable=False):
+    """Per-element weighted BCE terms.
+
+    stable=False reproduces the reference WeightedCrossEntropyWithLogits
+    (models/auxiliary/aux_models.py:129-147) bit for bit, INCLUDING its
+    overflow behavior: sigmoid saturates in float32 around |x|~90, after
+    which log(0) = -inf and the 0*inf products go NaN — the reference's
+    MM-IMDB trainer leans on a NaN failsafe for exactly this
+    (train_searchable/mmimdb.py:110-129).
+
+    stable=True is the algebraically identical logsumexp form
+    ``pw*z*softplus(-x) + (1-z)*(x + softplus(-x))``, exact for all x.
+    """
     z = targets
-    L = pos_weight * z * -jnp.log(x) + (1.0 - z) * -jnp.log(1.0 - x)
-    return jnp.mean(L)
+    if stable:
+        sp = jax.nn.softplus(-logits)           # = -log(sigmoid(x)), exact
+        return pos_weight * z * sp + (1.0 - z) * (logits + sp)
+    x = jax.nn.sigmoid(logits)
+    return pos_weight * z * -jnp.log(x) + (1.0 - z) * -jnp.log(1.0 - x)
+
+
+def weighted_bce_with_logits(logits, targets, pos_weight, stable=False):
+    """Mean-reduced weighted BCE (see weighted_bce_elements)."""
+    return jnp.mean(weighted_bce_elements(logits, targets, pos_weight,
+                                          stable=stable))
 
 
 def mse(pred, target):

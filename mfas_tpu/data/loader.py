@@ -65,36 +65,57 @@ class ArrayLoader:
             yield batch
 
 
-def prefetch_to_device(iterator, size=2, sharding=None):
-    """Double-buffered host->device prefetch: the next batch's transfer
-    overlaps the current step's compute (the pinned-memory pipeline
-    replacement, SURVEY §2.1)."""
-    import collections
+def prefetch_to_device(iterator, size=2, sharding=None, place=None):
+    """Host->device prefetch on a background thread: batch N+1's host
+    collation and (async) H2D transfer run while the consumer dispatches
+    step N — the pinned-memory double-buffer replacement (SURVEY §2.1).
 
+    ``place(batch)`` maps a host batch to what the consumer should receive
+    (device arrays, optionally extra host-side scalars); the default
+    converts every value with jnp.asarray and applies ``sharding``."""
     import jax
     import jax.numpy as jnp
 
-    queue = collections.deque()
+    if place is None:
+        def place(batch):
+            def put(x):
+                x = jnp.asarray(x)
+                return (jax.device_put(x, sharding)
+                        if sharding is not None else x)
+            return {k: put(v) for k, v in batch.items()}
 
-    def put(batch):
-        def place(x):
-            x = jnp.asarray(x)
-            return jax.device_put(x, sharding) if sharding is not None else x
-        queue.append({k: place(v) for k, v in batch.items()})
+    q: queue.Queue = queue.Queue(maxsize=max(1, size))
+    stop = threading.Event()
 
-    it = iter(iterator)
-    try:
-        for _ in range(size):
-            put(next(it))
-    except StopIteration:
-        pass
-    while queue:
-        out = queue.popleft()
+    def producer():
         try:
-            put(next(it))
-        except StopIteration:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(("item", place(batch)))
+        except BaseException as e:
+            q.put(("error", e))
+        else:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            kind, payload = item
+            if kind == "error":
+                raise payload
+            yield payload
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
             pass
-        yield out
 
 
 class MapLoader:
@@ -136,8 +157,7 @@ class MapLoader:
         bs = self.batch_size
         batches = [idx[s:s + bs] for s in range(0, len(idx), bs)]
 
-        def collate(take):
-            samples = [self._fetch(i) for i in take]
+        def collate(samples):
             n = len(samples)
             while len(samples) < bs:
                 samples.append(samples[0])
@@ -149,28 +169,60 @@ class MapLoader:
 
         if self.deterministic:
             for take in batches:
-                yield collate(take)
+                yield collate([self._fetch(i) for i in take])
             return
+
+        # Per-SAMPLE fan-out over a thread pool (torch's num_workers
+        # equivalent, SURVEY §2.1): up to ``prefetch+1`` batches of sample
+        # futures stay in flight while batches are collated and yielded
+        # strictly in order. cv2 / the C++ reader release the GIL, so the
+        # threads genuinely overlap decode.
+        from concurrent.futures import ThreadPoolExecutor
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             try:
-                for take in batches:
-                    if stop.is_set():
-                        return
-                    q.put(collate(take))
-            finally:
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    import collections
+                    window: collections.deque = collections.deque()
+                    nxt = 0
+                    while nxt < len(batches) and len(window) <= self.prefetch:
+                        window.append([ex.submit(self._fetch, i)
+                                       for i in batches[nxt]])
+                        nxt += 1
+                    while window:
+                        futs = window.popleft()
+                        samples = [f.result() for f in futs]
+                        if nxt < len(batches):
+                            window.append([ex.submit(self._fetch, i)
+                                           for i in batches[nxt]])
+                            nxt += 1
+                        if stop.is_set():
+                            return
+                        q.put(("batch", collate(samples)))
+            except BaseException as e:  # propagate to the consumer
+                q.put(("error", e))
+            else:
                 q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                batch = q.get()
-                if batch is None:
+                item = q.get()
+                if item is None:
                     return
-                yield batch
+                kind, payload = item
+                if kind == "error":
+                    raise payload
+                yield payload
         finally:
             stop.set()
+            # drain so the producer isn't blocked on a full queue forever
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

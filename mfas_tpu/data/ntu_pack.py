@@ -157,3 +157,45 @@ def make_device_normalize_prep(use_pallas=None):
         return batch
 
     return prep
+
+
+def make_device_normalize_inputs_prep(use_pallas=None):
+    """PopulationTrainer input_prep hook: normalizes every uint8 element of
+    the inputs tuple in-graph (the search-path twin of
+    make_device_normalize_prep)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfas_tpu.data.ntu import IMAGENET_MEAN, IMAGENET_STD
+    from mfas_tpu.ops.input_kernels import u8_normalize
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def prep(inputs):
+        return tuple(
+            u8_normalize(x, IMAGENET_MEAN, IMAGENET_STD,
+                         use_pallas=use_pallas)
+            if x.dtype == jnp.uint8 else x
+            for x in inputs)
+
+    return prep
+
+
+def make_synthetic_packed_ntu(out_dir, n=32, frames=8, h=64, w=64,
+                              skel_frames=32, num_classes=60, seed=0):
+    """Random packed store in the pack_ntu layout (tests/bench fixture)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    rgb = rs.randint(0, 256, (n, frames, h, w, 3)).astype(np.uint8)
+    ske = (rs.randn(n, 3, skel_frames, 25, 2) * 0.3).astype(np.float32)
+    np.save(os.path.join(out_dir, "rgb.npy"), rgb)
+    np.save(os.path.join(out_dir, "ske.npy"), ske)
+    np.save(os.path.join(out_dir, "ske_len.npy"),
+            np.full((n,), skel_frames, np.int32))
+    np.save(os.path.join(out_dir, "labels.npy"),
+            rs.randint(0, num_classes, n).astype(np.int32))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n": n, "frames": frames, "h": h, "w": w,
+                   "max_skel_frames": skel_frames, "stage": "synthetic"}, f)
+    return n

@@ -148,6 +148,17 @@ class ClassifierEngine:
             batch = pm.shard_batch(batch, self.mesh)
         return batch
 
+    def _prefetched(self, loader, size=2):
+        """Yield (n_valid, device_batch) with collation + H2D running one
+        batch ahead on a background thread (SURVEY §2.1 pinned-memory
+        pipeline equivalent)."""
+        from mfas_tpu.data.loader import prefetch_to_device
+
+        def place(batch):
+            return float(np.sum(batch["_mask"])), self._place(batch)
+
+        return prefetch_to_device(loader, size=size, place=place)
+
     def train_track_acc(self, tree, trainable_prefixes, dataloaders,
                         dataset_sizes, scheduler, num_epochs, seed=0,
                         verbose=False, print_loss=True, state_path=None,
@@ -193,9 +204,7 @@ class ClassifierEngine:
                 # host dispatch pipelines ahead of execution (a per-batch
                 # float(loss) would force a sync every step)
                 loss_terms, correct_terms = [], []
-                for batch in dataloaders[phase]:
-                    n_valid = float(np.sum(batch["_mask"]))
-                    batch = self._place(batch)
+                for n_valid, batch in self._prefetched(dataloaders[phase]):
                     if phase == "train":
                         eta = scheduler.step()
                         trainable, frozen, opt_state, loss, corrects = \
@@ -238,9 +247,8 @@ class ClassifierEngine:
         if self.mesh is not None:
             trainable = pm.replicate_tree(trainable, self.mesh)
             frozen = pm.replicate_tree(frozen, self.mesh)
-        corrects = 0.0
-        for batch in dataloader:
-            batch = self._place(batch)
+        correct_terms = []
+        for _, batch in self._prefetched(dataloader):
             _, c = self._eval_step(trainable, frozen, batch)
-            corrects += float(c)
-        return corrects / dataset_size
+            correct_terms.append(c)
+        return sum(float(c) for c in correct_terms) / dataset_size

@@ -26,7 +26,11 @@ from mfas_tpu.engine.classifier import split_tree
 
 class MMIMDBEngine:
     def __init__(self, model, pos_weight=2.0, weight_decay=1e-4,
-                 th_fscore=0.3):
+                 th_fscore=0.3, stable_bce=False):
+        # stable_bce=True swaps in the exact logsumexp BCE (no overflow
+        # NaNs); default False reproduces the reference loss bit-for-bit,
+        # NaN failsafe and all
+        self.stable_bce = stable_bce
         self.model = model
         self.pos_weight = pos_weight
         self.weight_decay = weight_decay
@@ -44,9 +48,9 @@ class MMIMDBEngine:
             tree = merge(tr, frozen)
             ctx = Ctx(train=True, rng=Rng(rng))
             logits = self._forward(tree, ctx, batch)
-            w = batch["_mask"][:, None]
-            per = self.pos_weight * batch["label"] * -jnp.log(jax.nn.sigmoid(logits)) \
-                + (1.0 - batch["label"]) * -jnp.log(1.0 - jax.nn.sigmoid(logits))
+            per = F.weighted_bce_elements(logits, batch["label"],
+                                          self.pos_weight,
+                                          stable=self.stable_bce)
             loss = jnp.sum(jnp.mean(per, axis=1) * batch["_mask"]) \
                 / jnp.maximum(jnp.sum(batch["_mask"]), 1.0)
             return loss, ctx.updates

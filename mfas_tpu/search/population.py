@@ -27,6 +27,7 @@ population size reuses the same compilation.
 
 from __future__ import annotations
 
+import itertools
 import math
 from dataclasses import dataclass
 
@@ -38,6 +39,10 @@ import jax.numpy as jnp
 from mfas_tpu.core import functional as F
 from mfas_tpu.core.module import Ctx, Rng
 from mfas_tpu.core.optim import adam_init, adam_update
+
+# process-wide token source for the dev-feature cache (never reused, unlike
+# id() after GC)
+_cache_token_counter = itertools.count(1)
 
 
 @dataclass
@@ -304,13 +309,18 @@ class PopulationTrainer:
     """
 
     def __init__(self, spec: PopulationSpec, feature_extractor,
-                 backbone_tree, mesh=None):
+                 backbone_tree, mesh=None, input_prep=None):
         """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
         over 'pop' (communication-free) and batches over 'data'; a 1-D
         ('data',) mesh shards batches only. Under jit/GSPMD the program is
-        written once — XLA inserts the batch-axis reductions."""
+        written once — XLA inserts the batch-axis reductions.
+
+        input_prep: optional traced transform of the inputs tuple run
+        in-graph before the extractor (e.g. the fused uint8 -> normalized
+        float kernel for packed device_normalize batches)."""
         self.spec = spec
         self.extractor = feature_extractor
+        self.input_prep = input_prep
         self.mesh = mesh
         self._pop_sharded = mesh is not None and "pop" in mesh.axis_names
         self._data_sharded = mesh is not None and "data" in mesh.axis_names
@@ -364,6 +374,8 @@ class PopulationTrainer:
 
     # ----- backbone feature cache (shared across all candidates)
     def _features_impl(self, backbone_tree, inputs, rng, train):
+        if self.input_prep is not None:
+            inputs = self.input_prep(inputs)
         if self.spec.feature_dtype:
             dt = jnp.dtype(self.spec.feature_dtype)
 
@@ -433,21 +445,48 @@ class PopulationTrainer:
         return loss_c, corr_c
 
     # ----- host loop
+    def _placed_batches(self, loader, input_keys, label_key):
+        """Yield (inputs, label, wmask) device tuples with host collation +
+        H2D transfer prefetched one batch ahead on a background thread."""
+        from mfas_tpu.data.loader import prefetch_to_device
+
+        def place(batch):
+            inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
+                           for k in input_keys)
+            label = self._shard_data(jnp.asarray(batch[label_key]))
+            wmask = self._shard_data(jnp.asarray(batch["_mask"]))
+            return inputs, label, wmask
+
+        return prefetch_to_device(loader, size=2, place=place)
+
+    @staticmethod
+    def _loader_token(loader):
+        """Identity token for the dev-feature cache. Stored ON the loader
+        object so a new loader can never inherit a GC-reused id(); loaders
+        that refuse attributes are simply never cached."""
+        tok = getattr(loader, "_mfas_cache_token", None)
+        if tok is None:
+            tok = next(_cache_token_counter)
+            try:
+                loader._mfas_cache_token = tok
+            except AttributeError:
+                return None
+        return tok
+
     def _dev_batches(self, loader, input_keys, label_key, rng,
                      cache=True, max_cache_samples=50000):
         """Yield (fa, fb, lb, la, label, wmask) for the dev split, cached
         on device after the first pass."""
-        key = id(loader)
+        key = self._loader_token(loader)
+        if key is None:
+            cache = False
         if cache and self._dev_cache is not None and self._dev_cache_key == key:
             yield from self._dev_cache
             return
         collected = []
         n = 0
-        for batch in loader:
-            inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
-                           for k in input_keys)
-            label = self._shard_data(jnp.asarray(batch[label_key]))
-            wmask = self._shard_data(jnp.asarray(batch["_mask"]))
+        for inputs, label, wmask in self._placed_batches(
+                loader, input_keys, label_key):
             fa, fb, lb, la = self._features(self.backbone_tree, inputs,
                                             rng.next(), train=False)
             item = (fa, fb, lb, la, label, wmask)
@@ -494,11 +533,8 @@ class PopulationTrainer:
                 # dispatch pipelines ahead of execution
                 correct_terms = []
                 if phase == "train":
-                    for batch in dataloaders[phase]:
-                        inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
-                                       for k in input_keys)
-                        label = self._shard_data(jnp.asarray(batch[label_key]))
-                        wmask = self._shard_data(jnp.asarray(batch["_mask"]))
+                    for inputs, label, wmask in self._placed_batches(
+                            dataloaders[phase], input_keys, label_key):
                         fa, fb, lb, la = self._features(
                             self.backbone_tree, inputs, rng.next(), train=True)
                         eta = scheduler.step()

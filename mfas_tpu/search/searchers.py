@@ -162,12 +162,16 @@ class NTUSearcher(ModelSearcher):
             ntu_data.AugCrop(seed=getattr(args, "data_seed", 0)),
             ntu_data.NormalizeLen(args.vid_len)])
 
+        dev_norm = bool(getattr(args, "device_input_normalize", False)
+                        and getattr(args, "packed_datadir", ""))
         if getattr(args, "packed_datadir", ""):
             from mfas_tpu.data.ntu_pack import PackedNTU
             ds_train = PackedNTU(os.path.join(args.packed_datadir, "trainexp"),
-                                 transform=tfm_tra, args=args)
+                                 transform=tfm_tra, args=args,
+                                 device_normalize=dev_norm)
             ds_dev = PackedNTU(os.path.join(args.packed_datadir, "dev"),
-                               transform=tfm_val, args=args)
+                               transform=tfm_val, args=args,
+                               device_normalize=dev_norm)
         else:
             ds_train = ntu_data.NTU(args.datadir, transform=tfm_tra,
                                     stage="trainexp", args=args)
@@ -200,13 +204,20 @@ class NTUSearcher(ModelSearcher):
             feature_dtype="bfloat16" if getattr(args, "bf16_features", False)
             else None)
 
-        seq = SequentialSearchTrainer(backbone_tree, ("rgb", "ske"), mesh=mesh)
+        batch_prep = inputs_prep = None
+        if dev_norm:
+            from mfas_tpu.data.ntu_pack import (
+                make_device_normalize_inputs_prep, make_device_normalize_prep)
+            batch_prep = make_device_normalize_prep()
+            inputs_prep = make_device_normalize_inputs_prep()
+        seq = SequentialSearchTrainer(backbone_tree, ("rgb", "ske"),
+                                      mesh=mesh, batch_prep=batch_prep)
         if getattr(args, "sequential_candidates", False):
             self.train_fn = seq
         else:
             self.train_fn = PopulationSearchTrainer(
                 spec, extractor, backbone_tree, ("rgb", "ske"),
-                mesh=mesh, sequential_fallback=seq)
+                mesh=mesh, sequential_fallback=seq, input_prep=inputs_prep)
 
     def search(self):
         surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)

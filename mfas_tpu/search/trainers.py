@@ -62,14 +62,17 @@ class SequentialSearchTrainer:
     """One candidate at a time, like the reference loop
     (ntu_searchable.py:38-102 / avmnist_searchable.py:38-108)."""
 
-    def __init__(self, backbone_trees: dict, input_keys, seed=0, mesh=None):
+    def __init__(self, backbone_trees: dict, input_keys, seed=0, mesh=None,
+                 batch_prep=None):
         """backbone_trees: attr name -> pretrained tree, e.g.
         {'skenet': ..., 'rgbnet': ...} — replaces the reference's per-
-        candidate torch.load of --ske_cp/--rgb_cp."""
+        candidate torch.load of --ske_cp/--rgb_cp.
+        batch_prep: traced in-graph batch transform (device_normalize)."""
         self.backbone_trees = backbone_trees
         self.input_keys = tuple(input_keys)
         self._seed = seed
         self.mesh = mesh
+        self.batch_prep = batch_prep
 
     def __call__(self, sampled_configurations, searchable_type, dataloaders,
                  args, device=None, state_dict=None, return_model=()):
@@ -100,7 +103,8 @@ class SequentialSearchTrainer:
 
             engine = ClassifierEngine(model, multitask=args.multitask,
                                       input_keys=self.input_keys,
-                                      mesh=self.mesh)
+                                      mesh=self.mesh,
+                                      batch_prep=self.batch_prep)
             scheduler = LRCosineAnnealingScheduler(
                 args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
             best_acc, best_tree = engine.train_track_acc(
@@ -217,13 +221,14 @@ class PopulationSearchTrainer:
 
     def __init__(self, spec: PopulationSpec, extractor_module,
                  backbone_tree, input_keys, seed=0, mesh=None,
-                 sequential_fallback=None):
+                 sequential_fallback=None, input_prep=None):
         self.spec = spec
         self.extractor_module = extractor_module
         self.input_keys = tuple(input_keys)
         self._seed = seed
         self.trainer = PopulationTrainer(
-            spec, extractor_module.apply, backbone_tree, mesh=mesh)
+            spec, extractor_module.apply, backbone_tree, mesh=mesh,
+            input_prep=input_prep)
         self.sequential_fallback = sequential_fallback
 
     def __call__(self, sampled_configurations, searchable_type, dataloaders,

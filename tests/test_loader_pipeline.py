@@ -1,0 +1,141 @@
+"""Host input pipeline: MapLoader worker fan-out, prefetch_to_device, and
+the population dev-feature cache token (SURVEY §2.1 DataLoader-workers
+replacement)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from mfas_tpu.data.loader import ArrayLoader, MapLoader, prefetch_to_device
+
+
+class _RecordingDataset:
+    """__getitem__ records which thread fetched each index."""
+
+    def __init__(self, n, delay=0.0, fail_at=None):
+        self.n = n
+        self.delay = delay
+        self.fail_at = fail_at
+        self.threads = {}
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise ValueError(f"boom at {i}")
+        if self.delay:
+            time.sleep(self.delay)
+        with self._lock:
+            self.threads[i] = threading.get_ident()
+        return {"x": np.full((3,), i, np.float32),
+                "label": np.int32(i % 7)}
+
+
+def test_maploader_order_and_padding_match_deterministic():
+    ds = _RecordingDataset(13)
+    ref = list(MapLoader(ds, 4, num_workers=1, deterministic=True))
+    out = list(MapLoader(ds, 4, num_workers=4, prefetch=2))
+    assert len(out) == len(ref) == 4
+    for a, b in zip(out, ref):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # final batch padded + masked
+    np.testing.assert_array_equal(out[-1]["_mask"], [1, 0, 0, 0])
+
+
+def test_maploader_fans_out_across_worker_threads():
+    ds = _RecordingDataset(16, delay=0.02)
+    list(MapLoader(ds, 4, num_workers=4, prefetch=2))
+    used = set(ds.threads.values())
+    assert len(used) >= 2, f"expected >1 worker thread, saw {used}"
+    assert threading.get_ident() not in used, "fetched on consumer thread"
+
+
+def test_maploader_worker_exception_propagates():
+    ds = _RecordingDataset(8, fail_at=5)
+    with pytest.raises(ValueError, match="boom at 5"):
+        list(MapLoader(ds, 4, num_workers=2))
+
+
+def test_maploader_early_break_does_not_hang():
+    ds = _RecordingDataset(64, delay=0.001)
+    it = iter(MapLoader(ds, 4, num_workers=2, prefetch=1))
+    next(it)
+    it.close()  # generator finalizer must unblock the producer
+
+
+def test_prefetch_to_device_values_and_order():
+    data = {"x": np.arange(24, dtype=np.float32).reshape(12, 2),
+            "label": np.arange(12, dtype=np.int32)}
+    loader = ArrayLoader(data, 4)
+    direct = list(loader)
+    fetched = list(prefetch_to_device(loader, size=2))
+    assert len(fetched) == len(direct)
+    for a, b in zip(fetched, direct):
+        for k in b:
+            np.testing.assert_array_equal(np.asarray(a[k]), b[k])
+
+
+def test_prefetch_to_device_propagates_errors():
+    def gen():
+        yield {"x": np.zeros(2, np.float32)}
+        raise RuntimeError("producer died")
+
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it)
+
+
+def test_dev_cache_token_new_loader_invalidates():
+    """A fresh loader object must never be served another loader's cached
+    features (the id()-reuse hazard)."""
+    from mfas_tpu.search.population import PopulationTrainer
+
+    class L:
+        pass
+
+    a, b = L(), L()
+    ta = PopulationTrainer._loader_token(a)
+    tb = PopulationTrainer._loader_token(b)
+    assert ta != tb
+    assert PopulationTrainer._loader_token(a) == ta  # stable per object
+    del a
+    c = L()
+    assert PopulationTrainer._loader_token(c) not in (ta,)
+
+
+def test_dev_cache_used_and_invalidated_end_to_end():
+    """Same loader object -> backbone features computed once; new loader
+    object -> recomputed."""
+    from mfas_tpu.core.module import Rng
+    from mfas_tpu.search.population import PopulationSpec, PopulationTrainer
+    from tests.test_avmnist_vertical import make_args, synthetic_avmnist
+    from tests.test_population_trainer import build
+
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    trainer = PopulationTrainer(spec, extractor.apply, btree)
+    calls = {"n": 0}
+    real = trainer._features
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    trainer._features = counting
+    data = synthetic_avmnist(16)
+    loader = ArrayLoader(data, 8)
+    rng = Rng(0)
+    list(trainer._dev_batches(loader, ("image", "audio"), "label", rng))
+    first = calls["n"]
+    assert first == 2
+    list(trainer._dev_batches(loader, ("image", "audio"), "label", rng))
+    assert calls["n"] == first  # served from cache
+    loader2 = ArrayLoader(data, 8)
+    list(trainer._dev_batches(loader2, ("image", "audio"), "label", rng))
+    assert calls["n"] == 2 * first  # new object -> recomputed

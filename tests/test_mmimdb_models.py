@@ -96,6 +96,41 @@ def test_weighted_bce_matches_reference_formula():
     got = float(F.weighted_bce_with_logits(jnp.asarray(logits),
                                            jnp.asarray(targets), w))
     assert got == pytest.approx(want, rel=1e-5)
+    # the stable logsumexp form is algebraically identical in-range
+    got_stable = float(F.weighted_bce_with_logits(
+        jnp.asarray(logits), jnp.asarray(targets), w, stable=True))
+    assert got_stable == pytest.approx(want, rel=1e-5)
+
+
+def test_weighted_bce_overflow_nan_parity_and_stable_opt_in():
+    """The legacy form must NaN exactly where the reference NaNs (float32
+    sigmoid saturates at |x|~90 -> log(0)*0 = NaN; the MM-IMDB NaN failsafe
+    is load-bearing there, train_searchable/mmimdb.py:110-129). stable=True
+    must return the exact finite value instead."""
+    torch = pytest.importorskip("torch")
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from models.auxiliary.aux_models import WeightedCrossEntropyWithLogits
+
+    logits = np.array([[100.0, -100.0, 0.5]], np.float32)
+    targets = np.array([[1.0, 0.0, 1.0]], np.float32)
+    w = 2.0
+
+    ref_loss = WeightedCrossEntropyWithLogits(w)(
+        torch.from_numpy(logits), torch.from_numpy(targets))
+    legacy = F.weighted_bce_with_logits(jnp.asarray(logits),
+                                        jnp.asarray(targets), w)
+    assert bool(torch.isnan(ref_loss)), "oracle changed: expected NaN"
+    assert np.isnan(float(legacy)), "legacy form must reproduce the NaN"
+
+    stable = float(F.weighted_bce_with_logits(
+        jnp.asarray(logits), jnp.asarray(targets), w, stable=True))
+    # exact values: softplus(-100)*2 ~ 7.4e-44 ~ 0; softplus(-100) ~ 0;
+    # third element w*softplus(-0.5)
+    want = np.mean([0.0, 0.0, w * np.log1p(np.exp(-0.5))])
+    assert stable == pytest.approx(want, rel=1e-5)
+    assert np.isfinite(stable)
 
 
 def test_vgg19_trunk_remap_against_torchvision_layout(tmp_path):
