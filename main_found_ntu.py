@@ -85,6 +85,10 @@ def parse_args():
                         help='bfloat16 compute (float32 params/optimizer)')
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize the forward in backward (saves HBM)')
+    parser.add_argument('--conv_channels_last', action='store_true',
+                        default=False,
+                        help='lower convs in NHWC/NDHWC (TPU MXU-friendly); '
+                             'params stay in torch layout')
     parser.add_argument('--packed_datadir', type=str, default='',
                         help='directory of packed stores (mfas_tpu.data.ntu_pack), '
                              'subdirs train/dev/test; bypasses AVI decode')
@@ -144,6 +148,9 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
     from mfas_tpu.engine.classifier import ClassifierEngine
 
     sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
+    if getattr(args, 'conv_channels_last', False):
+        from mfas_tpu.core import functional as F
+        F.set_conv_channels_last(True)
     batch_prep = None
     if getattr(args, 'device_input_normalize', False):
         from mfas_tpu.data.ntu_pack import make_device_normalize_prep

@@ -18,6 +18,22 @@ def _triple(v):
     return (v, v, v) if isinstance(v, int) else tuple(v)
 
 
+# Opt-in channels-last lowering for conv2d/conv3d: logical layout flips to
+# NHWC/NDHWC (weights to HWIO/DHWIO) around the convolution while params and
+# activations keep torch's NCHW order at the API boundary. On TPU, XLA
+# fuses the boundary transposes into neighboring elementwise ops; the MXU
+# prefers the minor-most channel dimension. Toggle via
+# set_conv_channels_last() or env MFAS_CONV_CHANNELS_LAST=1 (read at import).
+import os as _os
+
+CONV_CHANNELS_LAST = _os.environ.get("MFAS_CONV_CHANNELS_LAST") == "1"
+
+
+def set_conv_channels_last(enabled: bool):
+    global CONV_CHANNELS_LAST
+    CONV_CHANNELS_LAST = bool(enabled)
+
+
 # --------------------------------------------------------------------------
 # convolutions
 # --------------------------------------------------------------------------
@@ -25,6 +41,19 @@ def conv2d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     """x: (N,C,H,W), w: (O,I/groups,kh,kw) — torch Conv2d semantics."""
     stride, dilation = _pair(stride), _pair(dilation)
     padding = [(p, p) for p in _pair(padding)]
+    if CONV_CHANNELS_LAST:
+        out = lax.conv_general_dilated(
+            jnp.transpose(x, (0, 2, 3, 1)),
+            jnp.transpose(w, (2, 3, 1, 0)),
+            window_strides=stride,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+        )
+        if b is not None:
+            out = out + b
+        return jnp.transpose(out, (0, 3, 1, 2))
     out = lax.conv_general_dilated(
         x,
         w,
@@ -43,6 +72,19 @@ def conv3d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     """x: (N,C,D,H,W), w: (O,I/groups,kd,kh,kw) — torch Conv3d semantics."""
     stride, dilation = _triple(stride), _triple(dilation)
     padding = [(p, p) for p in _triple(padding)]
+    if CONV_CHANNELS_LAST:
+        out = lax.conv_general_dilated(
+            jnp.transpose(x, (0, 2, 3, 4, 1)),
+            jnp.transpose(w, (2, 3, 4, 1, 0)),
+            window_strides=stride,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=groups,
+        )
+        if b is not None:
+            out = out + b
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
     out = lax.conv_general_dilated(
         x,
         w,

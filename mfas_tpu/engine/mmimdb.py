@@ -69,6 +69,13 @@ class MMIMDBEngine:
     def _get_step(self, kind, text_len):
         key = (kind, text_len)
         if key not in self._steps:
+            if len(self._steps) == 24:
+                import warnings
+                warnings.warn(
+                    "MMIMDBEngine compiled 24 distinct (phase, text_len) "
+                    "programs; pass bucket_text=True to MMIMDBLoader (the "
+                    "default) to bound text lengths to pow-2 buckets",
+                    RuntimeWarning, stacklevel=2)
             fn = self._train_step_impl if kind == "train" else self._eval_step_impl
             self._steps[key] = jax.jit(fn)
         return self._steps[key]

@@ -213,3 +213,31 @@ def test_cross_entropy_padded_mask_equals_unpadded():
     np.testing.assert_allclose(
         np.asarray(F.cross_entropy(jnp.asarray(pad_logits), jnp.asarray(pad_labels), jnp.asarray(w))),
         np.asarray(F.cross_entropy(jnp.asarray(logits), jnp.asarray(labels))), rtol=1e-6)
+
+
+def test_conv_channels_last_matches_nchw():
+    """The opt-in NHWC/NDHWC lowering is numerically identical to the
+    default NCHW path (torch-layout API unchanged)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mfas_tpu.core import functional as F
+
+    rs = np.random.RandomState(0)
+    x2 = jnp.asarray(rs.randn(2, 3, 13, 11), jnp.float32)
+    w2 = jnp.asarray(rs.randn(5, 3, 3, 3), jnp.float32)
+    b2 = jnp.asarray(rs.randn(5), jnp.float32)
+    x3 = jnp.asarray(rs.randn(2, 3, 4, 9, 9), jnp.float32)
+    w3 = jnp.asarray(rs.randn(5, 3, 3, 3, 3), jnp.float32)
+
+    ref2 = F.conv2d(x2, w2, b2, stride=2, padding=1)
+    ref3 = F.conv3d(x3, w3, stride=(1, 2, 2), padding=1)
+    F.set_conv_channels_last(True)
+    try:
+        got2 = F.conv2d(x2, w2, b2, stride=2, padding=1)
+        got3 = F.conv3d(x3, w3, stride=(1, 2, 2), padding=1)
+    finally:
+        F.set_conv_channels_last(False)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""One-off bf16 performance sweep for the found-arch NTU train step
+(VERDICT r1 item 5: 142 clips/s ~ 17% MFU, find the headroom).
+
+Variants (one remote compile each):
+  f32/B16 baseline, bf16/B16, bf16/B16 channels-last, bf16/B32,
+  bf16/B32 channels-last.
+
+Run alone on the TPU box (single tunnel holder):
+  python tools/bf16_sweep.py
+Each measured region is a lax.scan of dependent train steps fenced by a
+host scalar fetch (block_until_ready lies on this backend).
+"""
+
+import json
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+INNER = 4
+
+
+def _timeit(fn, warmup=1, iters=3):
+    for _ in range(warmup):
+        float(np.asarray(fn()))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(fn()))
+        times.append((time.perf_counter() - t0) / INNER)
+    return float(np.median(times))
+
+
+def build_step(B, IMG, compute_dtype, channels_last):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mfas_tpu.core import functional as F
+    from mfas_tpu.core.module import Rng, partition
+    from mfas_tpu.core.optim import adam_init
+    from mfas_tpu.engine.classifier import ClassifierEngine
+    from mfas_tpu.fusion.ntu import Searchable_Skeleton_Image_Net
+
+    F.set_conv_channels_last(channels_last)
+    try:
+        args = types.SimpleNamespace(
+            num_outputs=60, vid_len=(8, 32), drpt=0.4,
+            inner_representation_size=256, multitask=True, alphas=False,
+            batchnorm=False, num_classes=60)
+        model = Searchable_Skeleton_Image_Net(
+            args, np.array([[3, 1, 1], [1, 3, 0], [1, 1, 1], [3, 3, 0]]))
+        tree = model.init(0)
+        engine = ClassifierEngine(model, multitask=True,
+                                  input_keys=("rgb", "ske"),
+                                  compute_dtype=compute_dtype)
+        trainable, frozen = partition(tree, model.param_predicate())
+        opt = adam_init(trainable)
+        rs = np.random.RandomState(0)
+        batch = {
+            "rgb": jnp.asarray(rs.randn(B, 8, IMG, IMG, 3), jnp.float32),
+            "ske": jnp.asarray(rs.randn(B, 3, 32, 25, 2), jnp.float32),
+            "label": jnp.asarray(rs.randint(0, 60, B), jnp.int32),
+            "_mask": jnp.ones((B,), jnp.float32)}
+        key = Rng(0).next()
+
+        @jax.jit
+        def loop(trainable, frozen, opt):
+            def body(carry, _):
+                trainable, frozen, opt = carry
+                trainable, frozen, opt, loss, corr = engine._train_step_impl(
+                    trainable, frozen, opt, batch, jnp.float32(1e-3), key)
+                return (trainable, frozen, opt), loss
+
+            carry, losses = lax.scan(body, (trainable, frozen, opt), None,
+                                     length=INNER)
+            return jnp.sum(losses)
+
+        return lambda: loop(trainable, frozen, opt)
+    finally:
+        F.set_conv_channels_last(False)
+
+
+def main():
+    variants = [
+        ("f32_B16", 16, None, False),
+        ("bf16_B16", 16, "bfloat16", False),
+        ("bf16_B16_chlast", 16, "bfloat16", True),
+        ("bf16_B32", 32, "bfloat16", False),
+        ("bf16_B32_chlast", 32, "bfloat16", True),
+    ]
+    results = {}
+    for name, B, dt, cl in variants:
+        # NOTE: set_conv_channels_last must stay enabled while the variant
+        # TRACES (first call). build_step resets the flag after building the
+        # python closures, but tracing happens inside _timeit's warmup —
+        # so re-enable around the measurement.
+        from mfas_tpu.core import functional as F
+        fn = build_step(B, 256, dt, cl)
+        F.set_conv_channels_last(cl)
+        try:
+            t = _timeit(fn)
+        finally:
+            F.set_conv_channels_last(False)
+        results[name] = {"step_s": round(t, 4),
+                         "clips_per_s": round(B / t, 1)}
+        print(name, results[name], flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
