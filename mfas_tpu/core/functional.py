@@ -34,6 +34,45 @@ def set_conv_channels_last(enabled: bool):
     CONV_CHANNELS_LAST = bool(enabled)
 
 
+# Opt-in decomposition of 3D convs into framewise 2D convs: the inflated
+# ResNet's (kd in {1,3}, stride_d=1) convolutions become kd large
+# batch-(N*D) 2D convolutions plus temporal shift-adds — a formulation XLA
+# tiles straight onto the MXU, sidestepping its generic 3-spatial-dim conv
+# lowering. Same math, same FLOPs (zero-padding waste included).
+CONV3D_AS_2D = _os.environ.get("MFAS_CONV3D_AS_2D") == "1"
+
+
+def set_conv3d_as_2d(enabled: bool):
+    global CONV3D_AS_2D
+    CONV3D_AS_2D = bool(enabled)
+
+
+def _conv3d_via_2d(x, w, b, stride, padding, dilation, groups):
+    """x: (N,C,D,H,W), w: (O,I/g,kd,kh,kw); requires stride_d==1,
+    dilation_d==1, padding_d==kd//2 (the inflated-ResNet cases)."""
+    N, C, D, H, W = x.shape
+    kd = w.shape[2]
+    pad_d = padding[0][0]
+    xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(N * D, C, H, W)
+    out = None
+    for dt in range(kd):
+        yf = conv2d(xf, w[:, :, dt], None, stride=stride[1:],
+                    padding=[p[0] for p in padding[1:]],
+                    dilation=dilation[1:], groups=groups)
+        ND, O, Ho, Wo = yf.shape
+        y = yf.reshape(N, D, O, Ho, Wo)
+        s = pad_d - dt                  # out[:, t] += y[:, t - s]
+        if s > 0:
+            y = jnp.pad(y[:, :-s], ((0, 0), (s, 0), (0, 0), (0, 0), (0, 0)))
+        elif s < 0:
+            y = jnp.pad(y[:, -s:], ((0, 0), (0, -s), (0, 0), (0, 0), (0, 0)))
+        out = y if out is None else out + y
+    out = jnp.transpose(out, (0, 2, 1, 3, 4))
+    if b is not None:
+        out = out + b.reshape(1, -1, 1, 1, 1)
+    return out
+
+
 # --------------------------------------------------------------------------
 # convolutions
 # --------------------------------------------------------------------------
@@ -72,6 +111,9 @@ def conv3d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     """x: (N,C,D,H,W), w: (O,I/groups,kd,kh,kw) — torch Conv3d semantics."""
     stride, dilation = _triple(stride), _triple(dilation)
     padding = [(p, p) for p in _triple(padding)]
+    if (CONV3D_AS_2D and stride[0] == 1 and dilation[0] == 1
+            and padding[0][0] == w.shape[2] // 2):
+        return _conv3d_via_2d(x, w, b, stride, padding, dilation, groups)
     if CONV_CHANNELS_LAST:
         out = lax.conv_general_dilated(
             jnp.transpose(x, (0, 2, 3, 4, 1)),

@@ -241,3 +241,43 @@ def test_conv_channels_last_matches_nchw():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv3d_as_2d_matches_native():
+    """The framewise-2D decomposition of 3D convs is numerically identical
+    to lax's native 3-spatial-dim lowering for the inflated-ResNet cases
+    (kd in {1,3}, stride_d=1, pad_d=kd//2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mfas_tpu.core import functional as F
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 4, 5, 9, 9), jnp.float32)
+    cases = [
+        (jnp.asarray(rs.randn(6, 4, 3, 3, 3), jnp.float32), (1, 2, 2), 1),
+        (jnp.asarray(rs.randn(6, 4, 3, 3, 3), jnp.float32), 1, 1),
+        (jnp.asarray(rs.randn(6, 4, 1, 1, 1), jnp.float32), (1, 2, 2), 0),
+        (jnp.asarray(rs.randn(6, 4, 1, 1, 1), jnp.float32), 1, 0),
+    ]
+    b = jnp.asarray(rs.randn(6), jnp.float32)
+    for w, stride, pad in cases:
+        ref = F.conv3d(x, w, b, stride=stride, padding=pad)
+        F.set_conv3d_as_2d(True)
+        try:
+            got = F.conv3d(x, w, b, stride=stride, padding=pad)
+        finally:
+            F.set_conv3d_as_2d(False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"kd={w.shape[2]} s={stride} p={pad}")
+
+    # unsupported case (temporal stride 2) must fall through to native
+    w = jnp.asarray(rs.randn(6, 4, 3, 3, 3), jnp.float32)
+    ref = F.conv3d(x, w, None, stride=(2, 2, 2), padding=1)
+    F.set_conv3d_as_2d(True)
+    try:
+        got = F.conv3d(x, w, None, stride=(2, 2, 2), padding=1)
+    finally:
+        F.set_conv3d_as_2d(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

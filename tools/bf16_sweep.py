@@ -35,7 +35,7 @@ def _timeit(fn, warmup=1, iters=3):
     return float(np.median(times))
 
 
-def build_step(B, IMG, compute_dtype, channels_last):
+def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -47,6 +47,7 @@ def build_step(B, IMG, compute_dtype, channels_last):
     from mfas_tpu.fusion.ntu import Searchable_Skeleton_Image_Net
 
     F.set_conv_channels_last(channels_last)
+    F.set_conv3d_as_2d(conv3d_as_2d)
     try:
         args = types.SimpleNamespace(
             num_outputs=60, vid_len=(8, 32), drpt=0.4,
@@ -83,29 +84,37 @@ def build_step(B, IMG, compute_dtype, channels_last):
         return lambda: loop(trainable, frozen, opt)
     finally:
         F.set_conv_channels_last(False)
+        F.set_conv3d_as_2d(False)
 
 
 def main():
     variants = [
-        ("f32_B16", 16, None, False),
-        ("bf16_B16", 16, "bfloat16", False),
-        ("bf16_B16_chlast", 16, "bfloat16", True),
-        ("bf16_B32", 32, "bfloat16", False),
-        ("bf16_B32_chlast", 32, "bfloat16", True),
+        ("f32_B16", 16, None, False, False),
+        ("bf16_B16", 16, "bfloat16", False, False),
+        ("bf16_B16_chlast", 16, "bfloat16", True, False),
+        ("bf16_B32", 32, "bfloat16", False, False),
+        ("bf16_B32_chlast", 32, "bfloat16", True, False),
+        ("bf16_B16_3das2d", 16, "bfloat16", False, True),
+        ("f32_B16_3das2d", 16, None, False, True),
+        ("bf16_B16_3das2d_chlast", 16, "bfloat16", True, True),
     ]
+    only = set(sys.argv[1:])
     results = {}
-    for name, B, dt, cl in variants:
-        # NOTE: set_conv_channels_last must stay enabled while the variant
-        # TRACES (first call). build_step resets the flag after building the
-        # python closures, but tracing happens inside _timeit's warmup —
-        # so re-enable around the measurement.
+    for name, B, dt, cl, as2d in variants:
+        if only and name not in only:
+            continue
+        # NOTE: the layout flags must stay enabled while the variant TRACES
+        # (first call inside _timeit's warmup) — re-enable around the
+        # measurement.
         from mfas_tpu.core import functional as F
-        fn = build_step(B, 256, dt, cl)
+        fn = build_step(B, 256, dt, cl, as2d)
         F.set_conv_channels_last(cl)
+        F.set_conv3d_as_2d(as2d)
         try:
             t = _timeit(fn)
         finally:
             F.set_conv_channels_last(False)
+            F.set_conv3d_as_2d(False)
         results[name] = {"step_s": round(t, 4),
                          "clips_per_s": round(B / t, 1)}
         print(name, results[name], flush=True)
