@@ -146,9 +146,9 @@ def bench_proxy(detail):
     t_backbone = _timeit(lambda: feats_loop(backbone_tree, rgb, ske, zero),
                          inner=INNER)
 
-    # optional bf16 measurements (each extra program costs minutes of
-    # remote compile on this backend): MFAS_BENCH_BF16=1
-    with_bf16 = os.environ.get("MFAS_BENCH_BF16") == "1"
+    # bf16 measurements (2 extra programs, minutes of remote compile each);
+    # default ON so every round records them — MFAS_BENCH_BF16=0 to skip
+    with_bf16 = os.environ.get("MFAS_BENCH_BF16", "1") != "0"
 
     t_backbone_bf16 = None
     if with_bf16:

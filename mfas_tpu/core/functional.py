@@ -47,6 +47,29 @@ def set_conv3d_as_2d(enabled: bool):
     CONV3D_AS_2D = bool(enabled)
 
 
+# 1x1x1 convs as channel matmuls (see conv3d). Default OFF: measured on
+# v5e, the einsum/dot path is ~12% SLOWER end-to-end than XLA's conv
+# emitter for the inflated-ResNet shapes (the huge-M, K=64 contraction is
+# memory-bound and the C-minor conv layouts don't carry over) — kept as an
+# opt-in for other shapes/chips.
+CONV1X1_AS_MATMUL = _os.environ.get("MFAS_CONV1X1_AS_MATMUL") == "1"
+
+
+def set_conv1x1_as_matmul(enabled: bool):
+    global CONV1X1_AS_MATMUL
+    CONV1X1_AS_MATMUL = bool(enabled)
+
+
+# max_pool2d as a strided-slice maximum tree (see max_pool2d docstring):
+# faster eval-mode forward, slower backward — inference opt-in.
+POOL_AS_SLICES = _os.environ.get("MFAS_POOL_AS_SLICES") == "1"
+
+
+def set_pool_as_slices(enabled: bool):
+    global POOL_AS_SLICES
+    POOL_AS_SLICES = bool(enabled)
+
+
 def _conv3d_via_2d(x, w, b, stride, padding, dilation, groups):
     """x: (N,C,D,H,W), w: (O,I/g,kd,kh,kw); requires stride_d==1,
     dilation_d==1, padding_d==kd//2 (the inflated-ResNet cases)."""
@@ -111,6 +134,17 @@ def conv3d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
     """x: (N,C,D,H,W), w: (O,I/groups,kd,kh,kw) — torch Conv3d semantics."""
     stride, dilation = _triple(stride), _triple(dilation)
     padding = [(p, p) for p in _triple(padding)]
+    if (CONV1X1_AS_MATMUL and w.shape[2:] == (1, 1, 1) and groups == 1
+            and all(p == (0, 0) for p in padding)):
+        # A 1x1x1 conv IS a matmul over the channel dim; stride = input
+        # subsampling. See the CONV1X1_AS_MATMUL note for why this is an
+        # opt-in rather than the default on v5e.
+        if stride != (1, 1, 1):
+            x = x[:, :, ::stride[0], ::stride[1], ::stride[2]]
+        out = jnp.einsum("ncdhw,oc->nodhw", x, w[:, :, 0, 0, 0])
+        if b is not None:
+            out = out + b.reshape(1, -1, 1, 1, 1)
+        return out
     if (CONV3D_AS_2D and stride[0] == 1 and dilation[0] == 1
             and padding[0][0] == w.shape[2] // 2):
         return _conv3d_via_2d(x, w, b, stride, padding, dilation, groups)
@@ -167,9 +201,35 @@ def linear(x, w, b=None):
 # pooling
 # --------------------------------------------------------------------------
 def max_pool2d(x, kernel_size, stride=None, padding=0):
+    """Max pool in torch NCHW semantics.
+
+    POOL_AS_SLICES (default OFF) computes small overlapping windows as a
+    maximum tree over k*k strided slices instead of lax.reduce_window.
+    Measured on TPU for the inflated-ResNet stem: the slice form shaves
+    ~4% off the eval-mode forward (reduce-window's generic 5-D lowering +
+    layout copy cost 14% of it), but its BACKWARD (9 chained max-masks)
+    loses 17% on the full train step — so reduce_window stays the
+    default and the slice form is an inference-path opt-in."""
     k = _pair(kernel_size)
     s = _pair(stride) if stride is not None else k
     p = _pair(padding)
+    if POOL_AS_SLICES and k[0] * k[1] <= 9:
+        neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
+        H, W = x.shape[-2], x.shape[-1]
+        if p != (0, 0):
+            pad = [(0, 0)] * (x.ndim - 2) + [(p[0], p[0]), (p[1], p[1])]
+            x = jnp.pad(x, pad, constant_values=neg)
+            H, W = H + 2 * p[0], W + 2 * p[1]
+        Ho = (H - k[0]) // s[0] + 1
+        Wo = (W - k[1]) // s[1] + 1
+        out = None
+        for di in range(k[0]):
+            for dj in range(k[1]):
+                v = x[..., di:di + (Ho - 1) * s[0] + 1:s[0],
+                      dj:dj + (Wo - 1) * s[1] + 1:s[1]]
+                out = v if out is None else jnp.maximum(out, v)
+        return out
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,

@@ -281,3 +281,44 @@ def test_conv3d_as_2d_matches_native():
         F.set_conv3d_as_2d(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_1x1_matmul_path_matches_native():
+    """1x1x1 convs route through dot_general (default ON); identical to the
+    native conv path incl. strided subsampling."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mfas_tpu.core import functional as F
+
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(2, 8, 4, 6, 6), jnp.float32)
+    w = jnp.asarray(rs.randn(5, 8, 1, 1, 1), jnp.float32)
+    b = jnp.asarray(rs.randn(5), jnp.float32)
+    for stride in (1, (1, 2, 2), (2, 2, 2)):
+        F.set_conv1x1_as_matmul(False)
+        try:
+            ref = F.conv3d(x, w, b, stride=stride)
+        finally:
+            F.set_conv1x1_as_matmul(True)
+        got = F.conv3d(x, w, b, stride=stride)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"stride={stride}")
+
+
+def test_pool_as_slices_matches_reduce_window():
+    import numpy as np
+    import jax.numpy as jnp
+    from mfas_tpu.core import functional as F
+
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 3, 13, 11), jnp.float32)
+    for k, s, p in ((3, 2, 1), (2, 2, 0), ((3, 2), (1, 2), (1, 0))):
+        ref = F.max_pool2d(x, k, s, p)
+        F.set_pool_as_slices(True)
+        try:
+            got = F.max_pool2d(x, k, s, p)
+        finally:
+            F.set_pool_as_slices(False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=f"k={k} s={s} p={p}")
