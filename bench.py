@@ -364,6 +364,16 @@ def bench_search_wallclock(detail, tmp_root):
     n_trained = 32 + args.num_samples  # level 0 trains all 32 unfoldings,
     # level 1 trains the K sampled (reference searchable.py:48-137)
 
+    # opt-in HBM-resident feature bank (--cache_features): backbones run
+    # once per sample total, all later epochs/populations gather from HBM
+    cached_args = _search_args(packed, tmp_root, img, batch,
+                               cache_features=True)
+    np.random.seed(0)
+    cached_searcher = NTUSearcher(cached_args)
+    t0 = time.perf_counter()
+    cached_searcher.search()
+    wall_pop_cached = time.perf_counter() - t0
+
     # sequential per-candidate wall-clock: same engine/shape as the
     # reference's candidate loop; 2nd run of the SAME engine measures the
     # warm program (compile excluded — see module docstring)
@@ -401,6 +411,8 @@ def bench_search_wallclock(detail, tmp_root):
 
     detail.update({
         "search_wallclock_pop_s": round(wall_pop, 2),
+        "search_wallclock_pop_cached_s": round(wall_pop_cached, 2),
+        "search_wallclock_cached_speedup": round(wall_seq / wall_pop_cached, 2),
         "search_wallclock_seq_s": round(wall_seq, 2),
         "search_wallclock_seq_percand_s": round(t_cand, 3),
         "search_wallclock_candidates": n_trained,

@@ -50,6 +50,11 @@ def parse_args():
                         default=False,
                         help='approximate weight sharing inside the fast '
                              'population trainer')
+    parser.add_argument('--cache_features', action='store_true', default=False,
+                        help='HBM-resident train-feature bank: extract '
+                             'frozen-backbone features once (eval mode) and '
+                             'gather shuffled batches from the bank every '
+                             'epoch/population')
     parser.add_argument('--alphas', action='store_true', default=False)
     parser.add_argument('--batchnorm', action='store_true', default=False)
     parser.add_argument('--multitask', action='store_true', default=False)

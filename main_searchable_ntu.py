@@ -99,6 +99,13 @@ def parse_args():
                         help='resume from --search_state if it exists')
     parser.add_argument('--bf16_features', action='store_true', default=False,
                         help='bfloat16 frozen-backbone features during search')
+    parser.add_argument('--cache_features', action='store_true', default=False,
+                        help='HBM-resident train-feature bank: extract '
+                             'frozen-backbone features once (eval mode), '
+                             'gather shuffled batches from the bank every '
+                             'epoch/population — zero backbone forwards '
+                             'after the first pass (freezes the '
+                             'augmentation draw; candidate scoring only)')
     parser.add_argument('--packed_datadir', type=str, default='',
                         help='packed stores (mfas_tpu.data.ntu_pack) with '
                              'subdirs trainexp/dev; bypasses AVI decode')

@@ -309,7 +309,8 @@ class PopulationTrainer:
     """
 
     def __init__(self, spec: PopulationSpec, feature_extractor,
-                 backbone_tree, mesh=None, input_prep=None):
+                 backbone_tree, mesh=None, input_prep=None,
+                 cache_train_features=False):
         """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
         over 'pop' (communication-free) and batches over 'data'; a 1-D
         ('data',) mesh shards batches only. Under jit/GSPMD the program is
@@ -317,7 +318,16 @@ class PopulationTrainer:
 
         input_prep: optional traced transform of the inputs tuple run
         in-graph before the extractor (e.g. the fused uint8 -> normalized
-        float kernel for packed device_normalize batches)."""
+        float kernel for packed device_normalize batches).
+
+        cache_train_features: opt-in HBM-resident feature bank (SURVEY.md
+        §7.2.6). Train-split features are extracted ONCE (eval-mode
+        backbone, so deterministic) into per-sample device arrays; every
+        later epoch of every candidate population gathers shuffled batches
+        straight from the bank — zero backbone forwards after the first
+        pass. Approximation vs the faithful path (documented, default off):
+        the augmentation draw and backbone BN batch-statistics are frozen
+        at bank-build time."""
         self.spec = spec
         self.extractor = feature_extractor
         self.input_prep = input_prep
@@ -337,6 +347,13 @@ class PopulationTrainer:
         # (197 candidates x 3 epochs)
         self._dev_cache = None
         self._dev_cache_key = None
+
+        self.cache_train_features = bool(cache_train_features)
+        self._train_bank = None
+        self._train_bank_key = None
+        self._bank_gather = jax.jit(
+            lambda bank, idx: jax.tree_util.tree_map(
+                lambda a: jnp.take(a, idx, axis=0), bank))
 
     # ----- sharding helpers
     def _put(self, tree, spec_):
@@ -501,6 +518,52 @@ class PopulationTrainer:
             self._dev_cache = collected
             self._dev_cache_key = key
 
+    # ----- HBM-resident train-feature bank (opt-in, SURVEY §7.2.6)
+    def _build_train_bank(self, loader, input_keys, label_key, rng):
+        """One eval-mode extraction pass over the train loader -> dict of
+        per-sample device arrays (padding rows of the final batch dropped,
+        so bank N == dataset_size). Stored bf16 when spec.feature_dtype is
+        reduced — the bank only feeds candidate scoring."""
+        store_dt = (jnp.dtype(self.spec.feature_dtype)
+                    if self.spec.feature_dtype else jnp.float32)
+        parts = {"fa": [], "fb": [], "lb": [], "la": [], "label": []}
+        for inputs, label, wmask in self._placed_batches(
+                loader, input_keys, label_key):
+            fa, fb, lb, la = self._features(self.backbone_tree, inputs,
+                                            rng.next(), train=False)
+            n = int(np.asarray(jnp.sum(wmask)))
+            parts["fa"].append(fa[:n].astype(store_dt))
+            parts["fb"].append(fb[:n].astype(store_dt))
+            parts["lb"].append(lb[:n].astype(store_dt))
+            parts["la"].append(la[:n].astype(store_dt))
+            parts["label"].append(label[:n])
+        bank = {k: jnp.concatenate(v, axis=0) for k, v in parts.items()}
+        return self._replicate(bank)
+
+    def _bank_batches(self, bank, batch_size, shuffle_rs):
+        """Yield (fa, fb, lb, la, label, wmask) batches device-gathered from
+        the bank under a fresh host-side shuffle (the loader-equivalent
+        reshuffle the bank keeps, unlike naive batch replay)."""
+        n = int(bank["label"].shape[0])
+        idx = shuffle_rs.permutation(n)
+        for start in range(0, n, batch_size):
+            take = idx[start:start + batch_size]
+            valid = len(take)
+            wmask = np.zeros((batch_size,), np.float32)
+            wmask[:valid] = 1.0
+            if valid < batch_size:
+                take = np.concatenate(
+                    [take, np.repeat(take[:1], batch_size - valid)])
+            got = self._bank_gather(bank, jnp.asarray(take, jnp.int32))
+            fa = got["fa"].astype(jnp.float32)
+            fb = got["fb"].astype(jnp.float32)
+            lb = got["lb"].astype(jnp.float32)
+            la = got["la"].astype(jnp.float32)
+            yield (self._shard_data(fa), self._shard_data(fb),
+                   self._shard_data(lb), self._shard_data(la),
+                   self._shard_data(got["label"]),
+                   self._shard_data(jnp.asarray(wmask)))
+
     def train_population(self, confs, dataloaders, dataset_sizes, scheduler,
                          num_epochs, input_keys, label_key="label", seed=0,
                          verbose=False, shared_state_dict=None):
@@ -526,13 +589,34 @@ class PopulationTrainer:
         rng = Rng(seed + 1)
         P = len(confs)
 
+        bank = None
+        if self.cache_train_features:
+            key = self._loader_token(dataloaders["train"])
+            if key is not None and self._train_bank_key == key:
+                bank = self._train_bank
+            else:
+                bank = self._build_train_bank(dataloaders["train"],
+                                              input_keys, label_key, rng)
+                if key is not None:
+                    self._train_bank, self._train_bank_key = bank, key
+        bank_rs = np.random.RandomState(seed + 17)
+
         best = np.zeros((P,))
         for epoch in range(num_epochs):
             for phase in ("train", "dev"):
                 # device-side accumulation; one host fetch per phase so
                 # dispatch pipelines ahead of execution
                 correct_terms = []
-                if phase == "train":
+                if phase == "train" and bank is not None:
+                    for fa, fb, lb, la, label, wmask in self._bank_batches(
+                            bank, dataloaders["train"].batch_size, bank_rs):
+                        eta = scheduler.step()
+                        params, bn_state, opt_state, loss_c, corr_c = \
+                            self._train_step(params, bn_state, opt_state,
+                                             conf, fa, fb, lb, la, label,
+                                             wmask, jnp.float32(eta), rng.next())
+                        correct_terms.append(corr_c)
+                elif phase == "train":
                     for inputs, label, wmask in self._placed_batches(
                             dataloaders[phase], input_keys, label_key):
                         fa, fb, lb, la = self._features(

@@ -1,0 +1,126 @@
+"""HBM-resident train-feature bank (SURVEY.md §7.2.6, opt-in
+``--cache_features``): frozen-backbone train features are extracted once
+(eval mode, deterministic) into per-sample device arrays; later epochs and
+populations gather shuffled batches straight from the bank."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mfas_tpu.core.sched import FixedScheduler
+from mfas_tpu.data.loader import ArrayLoader
+from mfas_tpu.fusion import avmnist as fa
+from mfas_tpu.search.population import PopulationTrainer
+from mfas_tpu.search.trainers import PopulationSearchTrainer
+from tests.test_avmnist_vertical import make_args, synthetic_avmnist
+from tests.test_population_trainer import build
+
+CONFS = [np.array([[4, 2, 0]]), np.array([[0, 0, 1]]),
+         np.array([[2, 1, 0], [4, 2, 0]])]
+
+
+def test_bank_matches_direct_eval_features():
+    """Bank rows == eval-mode features computed directly, final-batch
+    padding rows dropped (bank N == dataset_size)."""
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(21)            # 21 % 8 != 0: padded last batch
+    loader = ArrayLoader(data, 8)
+
+    trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                cache_train_features=True)
+    from mfas_tpu.core.module import Rng
+    bank = trainer._build_train_bank(loader, ("image", "audio"), "label",
+                                     Rng(0))
+    assert int(bank["fa"].shape[0]) == 21
+    np.testing.assert_array_equal(np.asarray(bank["label"]), data["label"])
+
+    inputs = (jnp.asarray(data["image"]), jnp.asarray(data["audio"]))
+    fa_, fb_, lb_, la_ = trainer._features(btree, inputs,
+                                           jnp.zeros(2, jnp.uint32),
+                                           train=False)
+    np.testing.assert_allclose(np.asarray(bank["fa"]), np.asarray(fa_),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bank["lb"]), np.asarray(lb_),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bank_batches_cover_dataset_with_mask():
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(21)
+    loader = ArrayLoader(data, 8)
+    trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                cache_train_features=True)
+    from mfas_tpu.core.module import Rng
+    bank = trainer._build_train_bank(loader, ("image", "audio"), "label",
+                                     Rng(0))
+    rs = np.random.RandomState(0)
+    seen = []
+    total_mask = 0.0
+    for fa_, fb_, lb_, la_, label, wmask in trainer._bank_batches(bank, 8, rs):
+        assert fa_.shape[0] == 8 and wmask.shape == (8,)
+        m = np.asarray(wmask)
+        seen.extend(np.asarray(label)[m > 0].tolist())
+        total_mask += float(m.sum())
+    assert total_mask == 21                  # every sample counted once
+    assert sorted(seen) == sorted(data["label"].tolist())
+
+
+def test_bank_trains_and_is_reused_across_populations():
+    """Second population reuses the bank: zero extractor calls after the
+    first build (+ the dev cache already covers the dev split)."""
+    args = make_args(drpt=0.0, epochs=2)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(32)
+    loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+               "dev": ArrayLoader(data, 8)}
+    sizes = {k: v.dataset_size for k, v in loaders.items()}
+
+    trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                cache_train_features=True)
+    # count host-level invocations of the compiled feature program (one per
+    # backbone forward pass)
+    calls = {"n": 0}
+    inner_features = trainer._features
+
+    def counting_features(*a, **kw):
+        calls["n"] += 1
+        return inner_features(*a, **kw)
+
+    trainer._features = counting_features
+    sched = FixedScheduler(1e-2)
+    accs, _, _ = trainer.train_population(CONFS, loaders, sizes, sched,
+                                          num_epochs=3,
+                                          input_keys=("image", "audio"))
+    assert len(accs) == 3 and all(0.0 <= a <= 1.0 for a in accs)
+    first = calls["n"]
+    # bank build: 4 train batches; dev cache: 4 dev batches — one forward
+    # per batch, never per-epoch
+    assert first == 8
+    accs2, _, _ = trainer.train_population(CONFS[:2], loaders, sizes,
+                                           FixedScheduler(1e-2), num_epochs=3,
+                                           input_keys=("image", "audio"))
+    assert len(accs2) == 2
+    assert calls["n"] == first   # no new backbone forwards at all
+
+    # training on the bank actually learns (same criterion as the
+    # non-cached trainer test)
+    accs3, _, _ = trainer.train_population(CONFS, loaders, sizes,
+                                           FixedScheduler(1e-2), num_epochs=6,
+                                           input_keys=("image", "audio"))
+    assert max(accs3) > 0.2
+
+
+def test_cache_features_flag_via_search_trainer():
+    args = make_args(drpt=0.0, epochs=1)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(16)
+    loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+               "dev": ArrayLoader(data, 8)}
+    pop = PopulationSearchTrainer(spec, extractor, btree,
+                                  input_keys=("image", "audio"),
+                                  cache_features=True)
+    accs = pop(CONFS[:2], fa.Searchable_Audio_Image_Net, loaders, args)
+    assert len(accs) == 2 and all(0.0 <= a <= 1.0 for a in accs)
+    assert pop.trainer._train_bank is not None
