@@ -45,7 +45,13 @@ class Searchable_Audio_Image_Net(Module):
                                            args.num_outputs)
 
     def central_params(self):
-        return ["alphas", "fusion_layers", "central_classifier"]
+        # alphas only when used: the reference passes them to Adam always,
+        # but torch skips grad-None params, so with args.alphas=False they
+        # never update (tests/test_train_step_oracle.py pins this)
+        prefixes = ["fusion_layers", "central_classifier"]
+        if self.args.alphas:
+            prefixes.insert(0, "alphas")
+        return prefixes
 
     def apply(self, tree, ctx, tensor_tuple):
         image, sound = tensor_tuple[0], tensor_tuple[1]

@@ -50,8 +50,15 @@ class Searchable_Skeleton_Image_Net(Module):
                                            args.num_outputs)
 
     def central_params(self):
-        """Trainable-prefix list for frozen-backbone training (:249-256)."""
-        return ["alphas", "fusion_layers", "central_classifier"]
+        """Trainable-prefix list for frozen-backbone training (:249-256).
+        The reference hands alphas to Adam unconditionally, but with
+        args.alphas=False they never enter the autograd graph and torch
+        skips grad-None params at step time — so the effective trainable
+        set excludes them (pinned by tests/test_train_step_oracle.py)."""
+        prefixes = ["fusion_layers", "central_classifier"]
+        if self.args.alphas:
+            prefixes.insert(0, "alphas")
+        return prefixes
 
     def apply(self, tree, ctx, tensor_tuple):
         image, skeleton = tensor_tuple[0], tensor_tuple[1]
