@@ -234,6 +234,11 @@ def bench_proxy(detail):
         lowered = jax.jit(engine._train_step_impl).lower(
             trainable, frozen, opt, batch, jnp.float32(1e-3), key)
         cost = lowered.cost_analysis()
+        if cost is None:
+            # some jax versions only expose cost analysis post-compile;
+            # the HLO is already in the backend's compile cache so this is
+            # cheap
+            cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_step = float(cost["flops"])
@@ -327,6 +332,8 @@ def _search_args(packed_dir, ckpt_dir, img, batch, **overrides):
             "--num_samples", "4", "--epochs_surrogate", "10",
             "--random_backbones", "--no-verbose",
             "--device_input_normalize", "--seed", "0",
+            # the default 16 loader threads thrash small bench hosts
+            "--j", "2",
             # few classes so 1-epoch candidates have NONZERO dev accuracy:
             # the reference's sampler draws with p ~ acc^(1/T) and crashes
             # on all-zero accuracies (preserved behavior)
@@ -347,37 +354,46 @@ def bench_search_wallclock(detail, tmp_root):
     from mfas_tpu.search.searchers import NTUSearcher
     from mfas_tpu.fusion.ntu import Searchable_Skeleton_Image_Net
 
-    img, batch = (128, 8) if jax.default_backend() != "cpu" else (32, 4)
-    n_train, n_dev = (64, 32) if jax.default_backend() != "cpu" else (8, 4)
+    # representative shapes: the reference's 256px clips; enough samples
+    # that per-epoch fixed costs amortize (the real search runs thousands
+    # of batches per level)
+    on_tpu = jax.default_backend() != "cpu"
+    img, batch = (256, 16) if on_tpu else (32, 4)
+    n_train, n_dev = (128, 64) if on_tpu else (8, 4)
+    epochs = 2 if on_tpu else 1
     packed = os.path.join(tmp_root, "packed")
     make_synthetic_packed_ntu(os.path.join(packed, "trainexp"), n=n_train,
                               frames=8, h=img, w=img, num_classes=4)
     make_synthetic_packed_ntu(os.path.join(packed, "dev"), n=n_dev,
                               frames=8, h=img, w=img, num_classes=4)
 
-    args = _search_args(packed, tmp_root, img, batch)
-    np.random.seed(0)
-    searcher = NTUSearcher(args)
-    t0 = time.perf_counter()
-    s_data = searcher.search()
-    wall_pop = time.perf_counter() - t0
+    def run_search(**overrides):
+        args = _search_args(packed, tmp_root, img, batch, epochs=epochs,
+                            **overrides)
+        np.random.seed(0)
+        searcher = NTUSearcher(args)
+        t0 = time.perf_counter()
+        searcher.search()
+        return time.perf_counter() - t0, args
+
+    # run 1 pays the XLA compiles; later runs are the WARM wall-clock — the
+    # same basis as the sequential side below (whose per-candidate time is
+    # also measured warm; the reference pays no per-candidate compile
+    # either). min-of-2 to damp 1-core host-scheduling noise.
+    wall_pop_cold, args = run_search()
+    wall_pop = min(run_search()[0], run_search()[0])
     n_trained = 32 + args.num_samples  # level 0 trains all 32 unfoldings,
     # level 1 trains the K sampled (reference searchable.py:48-137)
 
     # opt-in HBM-resident feature bank (--cache_features): backbones run
     # once per sample total, all later epochs/populations gather from HBM
-    cached_args = _search_args(packed, tmp_root, img, batch,
-                               cache_features=True)
-    np.random.seed(0)
-    cached_searcher = NTUSearcher(cached_args)
-    t0 = time.perf_counter()
-    cached_searcher.search()
-    wall_pop_cached = time.perf_counter() - t0
+    wall_pop_cached = min(run_search(cache_features=True)[0],
+                          run_search(cache_features=True)[0])
 
     # sequential per-candidate wall-clock: same engine/shape as the
     # reference's candidate loop; 2nd run of the SAME engine measures the
     # warm program (compile excluded — see module docstring)
-    seq_args = _search_args(packed, tmp_root, img, batch,
+    seq_args = _search_args(packed, tmp_root, img, batch, epochs=epochs,
                             sequential_candidates=True)
     seq_searcher = NTUSearcher(seq_args)
     seq = seq_searcher.train_fn
@@ -402,7 +418,7 @@ def bench_search_wallclock(detail, tmp_root):
             sizes["train"] / seq_args.batchsize)
         t0 = time.perf_counter()
         engine.train_track_acc(tree, model.central_params(), loaders, sizes,
-                               sched, num_epochs=1, print_loss=False)
+                               sched, num_epochs=epochs, print_loss=False)
         return time.perf_counter() - t0
 
     one_candidate()                      # cold (compiles train+eval)
@@ -411,6 +427,7 @@ def bench_search_wallclock(detail, tmp_root):
 
     detail.update({
         "search_wallclock_pop_s": round(wall_pop, 2),
+        "search_wallclock_pop_cold_s": round(wall_pop_cold, 2),
         "search_wallclock_pop_cached_s": round(wall_pop_cached, 2),
         "search_wallclock_cached_speedup": round(wall_seq / wall_pop_cached, 2),
         "search_wallclock_seq_s": round(wall_seq, 2),
@@ -419,13 +436,15 @@ def bench_search_wallclock(detail, tmp_root):
         "search_wallclock_config": {
             "img": img, "batch": batch, "n_train": n_train, "n_dev": n_dev,
             "search_iterations": 1, "max_fusions": 2, "num_samples": 4,
-            "epochs": 1},
+            "epochs": epochs},
         "search_wallclock_speedup": round(wall_seq / wall_pop, 2),
         "search_wallclock_note": (
-            "pop = full EPNAS loop incl. surrogate/sampling/host IO; seq = "
-            "candidates x measured WARM per-candidate training wall-clock "
-            "(per-candidate XLA compile and model-build excluded -> "
-            "conservative for the speedup)"),
+            "pop = full EPNAS loop incl. surrogate/sampling/host IO, WARM "
+            "run (2nd in-process search; 1st run's one-time XLA compiles "
+            "reported as pop_cold); seq = candidates x measured WARM "
+            "per-candidate training wall-clock (per-candidate XLA compile "
+            "and model-build excluded, matching basis: the reference pays "
+            "no per-candidate compile)"),
     })
 
 
@@ -454,7 +473,7 @@ def bench_e2e_input(detail, tmp_root):
         fargs.vid_len = (2, 32)
 
     store = os.path.join(tmp_root, "e2e")
-    n = 4 * B
+    n = 12 * B   # enough batches that prefetch startup amortizes
     make_synthetic_packed_ntu(store, n=n, frames=fargs.vid_len[0],
                               h=IMG, w=IMG)
     ds = PackedNTU(store, transform=Compose([NormalizeLen(fargs.vid_len)]),
@@ -491,6 +510,28 @@ def bench_e2e_input(detail, tmp_root):
     detail["e2e_train_clips_per_s"] = round(nb * B / t, 2)
     detail["e2e_config"] = {"batch": B, "img": IMG, "n_samples": n,
                             "num_workers": 4, "device_normalize": True}
+
+    # raw host->device bandwidth at the same transfer size, so the e2e
+    # number is self-explaining when the link (e.g. a remote-tunneled
+    # chip) is the bottleneck rather than the input pipeline or the step
+    buf = np.zeros((B, fargs.vid_len[0], IMG, IMG, 3), np.uint8)
+
+    def put_fenced():
+        # scalar read-back fences the transfer (block_until_ready defers
+        # on the remote-tunneled backend)
+        arr = jax.device_put(buf)
+        return int(np.asarray(arr[0, 0, 0, 0, 0]))
+
+    put_fenced()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        put_fenced()
+        times.append(time.perf_counter() - t0)
+    h2d = buf.nbytes / np.median(times) / 1e9
+    detail["h2d_gbps"] = round(h2d, 3)
+    detail["e2e_h2d_bound_clips_per_s"] = round(
+        h2d * 1e9 / (buf.nbytes / B), 2)
 
 
 # ---------------------------------------------------------------------------

@@ -74,8 +74,10 @@ def test_main_found_ntu_smoke(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("extra", [(), ("--cache_features",)],
+                         ids=["default", "cache_features"])
 def test_main_searchable_ntu_tiny_population_search(tmp_path, monkeypatch,
-                                                    capsys):
+                                                    capsys, extra):
     import main_searchable_ntu as m
     # trainexp uses subject 1; dev uses subject 2
     build_ntu_fixture(tmp_path)
@@ -87,7 +89,7 @@ def test_main_searchable_ntu_tiny_population_search(tmp_path, monkeypatch,
         "--vid_len", "2", "32", "--num_workers", "2",
         "--max_fusions", "2", "--search_iterations", "1",
         "--num_samples", "2", "--epochs_surrogate", "2",
-        "--random_backbones", "--no-verbose", "--seed", "0",
+        "--random_backbones", "--no-verbose", "--seed", "0", *extra,
     ])
     out = capsys.readouterr().out
     assert "Search complete" in out
