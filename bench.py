@@ -566,10 +566,15 @@ def bench_host_input(detail):
 def main():
     import tempfile
 
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    cache_dir = enable_persistent_compilation_cache()
+
     import jax
 
     detail = {"device": str(jax.devices()[0]),
-              "device_kind": getattr(jax.devices()[0], "device_kind", "?")}
+              "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+              "compile_cache_dir": cache_dir}
     fast = os.environ.get("MFAS_BENCH_FAST") == "1"
 
     speedup = bench_proxy(detail)

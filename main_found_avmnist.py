@@ -56,6 +56,9 @@ FOUND_CONFS = {
 
 
 def main():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     print("Training found AV-MNIST network")
     args = parse_args()
     print("The configuration of this run is:")

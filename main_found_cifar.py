@@ -41,6 +41,9 @@ def parse_args():
 
 
 def main():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     print("Training found CIFAR micro-cell network")
     args = parse_args()
     print("The configuration of this run is:")

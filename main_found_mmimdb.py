@@ -67,6 +67,9 @@ def build_model(args):
 
 
 def main():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     print("Training MM-IMDB fusion network")
     args = parse_args()
     print("The configuration of this run is:")

@@ -193,6 +193,9 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
 
 
 def main():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     print("Training found NTU network")
     args = parse_args()
     print("The configuration of this run is:")

@@ -50,6 +50,9 @@ def parse_args():
 
 
 def main():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     args = parse_args()
 
     import numpy as np

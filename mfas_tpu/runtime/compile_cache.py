@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache.
+
+TPU deployments that compile through a remote/tunneled backend pay minutes
+per program (measured here: 131 s for one conv program, 1.7 s when served
+from this cache by a fresh process). The reference's per-candidate loop
+never compiles at all (eager torch), so cached compiles are also what keeps
+the rebuild's cold-start competitive. Every CLI entry point enables this;
+opt out with MFAS_COMPILE_CACHE=0, redirect with MFAS_COMPILE_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_compilation_cache(path: str | None = None,
+                                        min_compile_secs: float = 0.5):
+    """Idempotent; safe to call before or after backend init (must precede
+    the first compile to benefit it). Returns the cache dir or None."""
+    if os.environ.get("MFAS_COMPILE_CACHE", "1") == "0":
+        return None
+    import jax
+
+    path = (path
+            or os.environ.get("MFAS_COMPILE_CACHE_DIR")
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/mfas_tpu/xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return path
