@@ -318,7 +318,9 @@ def bench_proxy(detail):
 # ---------------------------------------------------------------------------
 # Section 3: end-to-end search wall-clock (real tiny EPNAS on packed data)
 # ---------------------------------------------------------------------------
-def _search_args(packed_dir, ckpt_dir, img, batch, **overrides):
+def _search_args(packed_dir, ckpt_dir, batch, **overrides):
+    """Search-CLI args against a packed store (whose files already fix the
+    input resolution; there is no separate image-size flag)."""
     import main_searchable_ntu as ms
 
     argv = sys.argv
@@ -333,7 +335,7 @@ def _search_args(packed_dir, ckpt_dir, img, batch, **overrides):
             "--random_backbones", "--no-verbose",
             "--device_input_normalize", "--seed", "0",
             # the default 16 loader threads thrash small bench hosts
-            "--j", "2",
+            "--num_workers", "2",
             # few classes so 1-epoch candidates have NONZERO dev accuracy:
             # the reference's sampler draws with p ~ acc^(1/T) and crashes
             # on all-zero accuracies (preserved behavior)
@@ -368,7 +370,7 @@ def bench_search_wallclock(detail, tmp_root):
                               frames=8, h=img, w=img, num_classes=4)
 
     def run_search(**overrides):
-        args = _search_args(packed, tmp_root, img, batch, epochs=epochs,
+        args = _search_args(packed, tmp_root, batch, epochs=epochs,
                             **overrides)
         np.random.seed(0)
         searcher = NTUSearcher(args)
@@ -393,7 +395,7 @@ def bench_search_wallclock(detail, tmp_root):
     # sequential per-candidate wall-clock: same engine/shape as the
     # reference's candidate loop; 2nd run of the SAME engine measures the
     # warm program (compile excluded — see module docstring)
-    seq_args = _search_args(packed, tmp_root, img, batch, epochs=epochs,
+    seq_args = _search_args(packed, tmp_root, batch, epochs=epochs,
                             sequential_candidates=True)
     seq_searcher = NTUSearcher(seq_args)
     seq = seq_searcher.train_fn

@@ -31,7 +31,7 @@ def parse_args():
     parser.add_argument('--Ti', type=int, default=1)
     parser.add_argument('--Tm', type=int, default=2)
     parser.add_argument('--use_dataparallel', action='store_true', default=False)
-    parser.add_argument('--num_workers', type=int, default=16)
+    parser.add_argument('--num_workers', '--j', type=int, default=16)
     parser.add_argument('--max_fusions', type=int, dest="max_progression_levels",
                         default=4)
     parser.add_argument('--search_iterations', type=int, default=3)

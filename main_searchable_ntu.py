@@ -39,8 +39,8 @@ def parse_args():
     parser.add_argument('--Tm', type=int, help='epochs multiplier Tm', default=2)
     parser.add_argument('--use_dataparallel', help='Use several TPU chips',
                         action='store_true', default=False)
-    parser.add_argument('--num_workers', type=int, help='Dataloader CPUS',
-                        default=16)
+    parser.add_argument('--num_workers', '--j', type=int,
+                        help='Dataloader CPUS', default=16)
     parser.add_argument('--modality', type=str, help='', default='both')
     parser.add_argument('--max_fusions', type=int, dest="max_progression_levels",
                         help='max fusions', default=4)

@@ -146,7 +146,9 @@ def conv3d(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
             out = out + b.reshape(1, -1, 1, 1, 1)
         return out
     if (CONV3D_AS_2D and stride[0] == 1 and dilation[0] == 1
-            and padding[0][0] == w.shape[2] // 2):
+            and w.shape[2] % 2 == 1            # odd kd only: the framewise
+            and padding[0][0] == w.shape[2] // 2):  # shift-add assumes a
+        # centered SAME temporal window (even kd would change D_out)
         return _conv3d_via_2d(x, w, b, stride, padding, dilation, groups)
     if CONV_CHANNELS_LAST:
         out = lax.conv_general_dilated(

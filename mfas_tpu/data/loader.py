@@ -136,7 +136,9 @@ class MapLoader:
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.num_workers = max(1, int(num_workers))
-        self.prefetch = prefetch
+        # clamp: queue.Queue(0) would be UNBOUNDED, collating the whole
+        # dataset ahead of the consumer
+        self.prefetch = max(1, int(prefetch))
         self.deterministic = deterministic
         self._rng = np.random.RandomState(seed)
 

@@ -60,7 +60,7 @@ def test_one_candidate_train_step_matches_reference(ref, alphas):  # noqa: F811
         loss = crit(out, torch.from_numpy(label))
         loss.backward()
         opt.step()
-        ref_losses.append(float(loss))
+        ref_losses.append(loss.item())
     sd_after = _sd_numpy(ref_model)
 
     # ---- rebuild: same weights through the checkpoint bridge, the

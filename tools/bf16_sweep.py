@@ -13,13 +13,14 @@ host scalar fetch (block_until_ready lies on this backend).
 """
 
 import json
+import os
 import sys
 import time
 import types
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 INNER = 4
 

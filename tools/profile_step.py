@@ -19,6 +19,7 @@ import glob
 import gzip
 import json
 import re
+import os
 import sys
 import tempfile
 import time
@@ -26,7 +27,7 @@ import types
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _args(**kw):
