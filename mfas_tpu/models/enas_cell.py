@@ -108,18 +108,15 @@ class PoolBranch(Module):
         return self.pool(self.sub(tree, "pool"), ctx, out)
 
 
-class IdentityOp(Module):
-    """conv_type 0: 1x1 conv+BN+ReLU then identity (:470-475)."""
-
-    def __init__(self, in_planes, out_planes):
-        super().__init__()
-        self.op = Sequential(
-            Sequential(L.Conv2d(in_planes, out_planes, 1, bias=False),
-                       L.BatchNorm2d(out_planes), L.ReLU()),
-            Identity())
-
-    def apply(self, tree, ctx, x):
-        return self.op(self.sub(tree, "op"), ctx, x)
+def IdentityOp(in_planes, out_planes):
+    """conv_type 0: 1x1 conv+BN+ReLU then identity (:470-475). A bare
+    Sequential, exactly like the reference — its state_dict keys sit
+    directly under the owning attribute (`op{1,2}.0.0.weight`), with no
+    extra nesting level."""
+    return Sequential(
+        Sequential(L.Conv2d(in_planes, out_planes, 1, bias=False),
+                   L.BatchNorm2d(out_planes), L.ReLU()),
+        Identity())
 
 
 def CreateOp(conv_type, input_planes=64, output_planes=64):
