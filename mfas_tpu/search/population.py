@@ -310,7 +310,7 @@ class PopulationTrainer:
 
     def __init__(self, spec: PopulationSpec, feature_extractor,
                  backbone_tree, mesh=None, input_prep=None,
-                 cache_train_features=False):
+                 cache_train_features=False, fused_epochs=True):
         """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
         over 'pop' (communication-free) and batches over 'data'; a 1-D
         ('data',) mesh shards batches only. Under jit/GSPMD the program is
@@ -354,6 +354,17 @@ class PopulationTrainer:
         self._bank_gather = jax.jit(
             lambda bank, idx: jax.tree_util.tree_map(
                 lambda a: jnp.take(a, idx, axis=0), bank))
+
+        # fused-epoch scan (active only with the feature bank): the whole
+        # epoch — every gather + train step + LR value — is ONE compiled
+        # program (lax.scan over steps). On dispatch-bound deployments
+        # (remote tunnel ~7 ms/call) this collapses ~2 dispatches/batch
+        # into ~2/epoch; on local hosts it removes the host loop entirely.
+        self.fused_epochs = bool(fused_epochs)
+        self._dev_bank = None
+        self._dev_bank_key = None
+        self._train_epoch = jax.jit(self._train_epoch_impl)
+        self._eval_epoch = jax.jit(self._eval_epoch_impl)
 
     # ----- sharding helpers
     def _put(self, tree, spec_):
@@ -460,6 +471,99 @@ class PopulationTrainer:
                                          logits_b, logits_a, label, wmask,
                                          False, rngs)
         return loss_c, corr_c
+
+    # ----- fused-epoch programs (feature-bank path): the whole epoch is
+    # one lax.scan — gathers, train steps, and the per-batch LR values all
+    # live inside a single XLA program, so the host issues ~2 dispatches
+    # per epoch instead of ~2 per batch (SURVEY §2.2 north star; the
+    # per-batch path above stays for the bankless/faithful modes)
+    def _constrain_data(self, tree):
+        """In-jit counterpart of _shard_data (device_put is host-side)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None or not self._data_sharded:
+            return tree
+        n = self.mesh.shape["data"]
+        sh = NamedSharding(self.mesh, P("data"))
+
+        def place(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+                return jax.lax.with_sharding_constraint(x, sh)
+            return x
+
+        return jax.tree_util.tree_map(place, tree)
+
+    def _gathered_batch(self, bank, take_s):
+        got = jax.tree_util.tree_map(lambda a: a[take_s], bank)
+        fa = got["fa"].astype(jnp.float32)
+        fb = got["fb"].astype(jnp.float32)
+        lb = got["lb"].astype(jnp.float32)
+        la = got["la"].astype(jnp.float32)
+        return tuple(self._constrain_data(t)
+                     for t in (fa, fb, lb, la, got["label"]))
+
+    def _train_epoch_impl(self, params, bn_state, opt_state, conf, bank,
+                          take, wmask, etas, rng):
+        keys = jax.random.split(rng, take.shape[0])
+
+        def body(carry, xs):
+            params, bn_state, opt_state, corr = carry
+            take_s, wmask_s, eta_s, key = xs
+            fa, fb, lb, la, label = self._gathered_batch(bank, take_s)
+            params, bn_state, opt_state, _, corr_c = self._train_step_impl(
+                params, bn_state, opt_state, conf, fa, fb, lb, la, label,
+                self._constrain_data(wmask_s), eta_s, key)
+            return (params, bn_state, opt_state, corr + corr_c), None
+
+        P_ = conf["sel_a"].shape[0]
+        corr0 = jnp.zeros((P_,), jnp.float32)
+        (params, bn_state, opt_state, corr), _ = jax.lax.scan(
+            body, (params, bn_state, opt_state, corr0),
+            (take, wmask, etas, keys))
+        return params, bn_state, opt_state, corr
+
+    def _eval_epoch_impl(self, params, bn_state, conf, bank, take, wmask):
+        def body(corr, xs):
+            take_s, wmask_s = xs
+            fa, fb, lb, la, label = self._gathered_batch(bank, take_s)
+            _, corr_c = self._eval_step_impl(
+                params, bn_state, conf, fa, fb, lb, la, label,
+                self._constrain_data(wmask_s))
+            return corr + corr_c, None
+
+        P_ = conf["sel_a"].shape[0]
+        corr, _ = jax.lax.scan(body, jnp.zeros((P_,), jnp.float32),
+                               (take, wmask))
+        return corr
+
+    @staticmethod
+    def _epoch_index_plan(n, batch_size, rs=None):
+        """Host-side (take, wmask) arrays of shape (steps, batch) for one
+        epoch: a fresh permutation when rs is given (train) else sequential
+        order (dev); the ragged final batch repeats its first index under a
+        zero weight-mask."""
+        idx = rs.permutation(n) if rs is not None else np.arange(n)
+        steps = (n + batch_size - 1) // batch_size
+        take = np.zeros((steps, batch_size), np.int32)
+        wm = np.zeros((steps, batch_size), np.float32)
+        for s in range(steps):
+            part = idx[s * batch_size:(s + 1) * batch_size]
+            take[s, :len(part)] = part
+            if len(part) < batch_size:
+                take[s, len(part):] = part[0]
+            wm[s, :len(part)] = 1.0
+        return take, wm
+
+    def _get_dev_bank(self, loader, input_keys, label_key, rng):
+        """Per-sample dev feature bank (same layout as the train bank),
+        cached across populations by loader token — dev features are
+        deterministic (eval-mode backbone, deterministic transforms)."""
+        key = self._loader_token(loader)
+        if key is not None and self._dev_bank_key == key:
+            return self._dev_bank
+        bank = self._build_train_bank(loader, input_keys, label_key, rng)
+        if key is not None:
+            self._dev_bank, self._dev_bank_key = bank, key
+        return bank
 
     # ----- host loop
     def _placed_batches(self, loader, input_keys, label_key):
@@ -602,6 +706,42 @@ class PopulationTrainer:
         bank_rs = np.random.RandomState(seed + 17)
 
         best = np.zeros((P,))
+
+        if bank is not None and self.fused_epochs:
+            dev_bank = self._get_dev_bank(dataloaders["dev"], input_keys,
+                                          label_key, rng)
+            dev_take, dev_wm = self._epoch_index_plan(
+                int(dev_bank["label"].shape[0]),
+                dataloaders["dev"].batch_size)
+            dev_take, dev_wm = jnp.asarray(dev_take), jnp.asarray(dev_wm)
+            n_train = int(bank["label"].shape[0])
+            bs = dataloaders["train"].batch_size
+            for epoch in range(num_epochs):
+                take, wm = self._epoch_index_plan(n_train, bs, bank_rs)
+                # the host scheduler steps exactly as the per-batch path
+                # does; the resulting per-step LR vector rides into the
+                # compiled epoch
+                etas = np.asarray([scheduler.step()
+                                   for _ in range(take.shape[0])], np.float32)
+                params, bn_state, opt_state, tr_corr = self._train_epoch(
+                    params, bn_state, opt_state, conf, bank,
+                    jnp.asarray(take), jnp.asarray(wm), jnp.asarray(etas),
+                    rng.next())
+                dev_corr = self._eval_epoch(params, bn_state, conf,
+                                            dev_bank, dev_take, dev_wm)
+                # both dispatches issued before any host fetch
+                for phase, corr in (("train", tr_corr), ("dev", dev_corr)):
+                    acc = np.asarray(corr) / dataset_sizes[phase]
+                    if verbose:
+                        print("{} population acc: mean {:.4f} max {:.4f}"
+                              .format(phase, acc.mean(), acc.max()))
+                    if phase == "dev":
+                        best = np.maximum(best, acc)
+            if shared_state_dict is not None:
+                extract_shared_states(params, bn_state, confs, spec,
+                                      shared_state_dict, verbose=verbose)
+            return [float(a) for a in best], params, bn_state
+
         for epoch in range(num_epochs):
             for phase in ("train", "dev"):
                 # device-side accumulation; one host fetch per phase so

@@ -79,6 +79,8 @@ class SimpleRecurrentSurrogate:
             lambda params, seq, lengths: self.net.apply(params, Ctx(), seq,
                                                         lengths))
         self._step = jax.jit(self._step_impl)
+        self._fit_scan = jax.jit(self._fit_scan_impl,
+                                 static_argnames=("num_epochs",))
 
     def _padded_len(self, L):
         return max(self.max_seq_len, L)
@@ -107,36 +109,57 @@ class SimpleRecurrentSurrogate:
         params, opt_state = adam_update(params, grads, opt_state, lr)
         return params, opt_state, loss
 
+    def _fit_scan_impl(self, params, opt_state, seqs, lengths, tgts, masks,
+                       lr, num_epochs):
+        """All `num_epochs` x groups full-batch steps as ONE lax.scan
+        program (epoch-major, group order preserved — the exact update
+        sequence of the reference's nested loop, surrogate.py:133-157).
+        One dispatch instead of epochs*groups."""
+        G = seqs.shape[0]
+
+        def body(carry, g):
+            params, opt_state = carry
+            params, opt_state, loss = self._step_impl(
+                params, opt_state, seqs[g], lengths[g], tgts[g], masks[g],
+                lr)
+            return (params, opt_state), loss
+
+        xs = jnp.tile(jnp.arange(G), num_epochs)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state),
+                                                   xs)
+        return params, opt_state, losses[-1]
+
     def fit(self, dataset_conf, dataset_acc, num_epochs, lr):
         """dataset_conf: list of (L, N, feats) arrays grouped by seq length;
         dataset_acc: list of (N, 1). Returns the last batch loss
-        (reference surrogate.py:133-157). Per-group full-batch steps are
-        preserved; groups pad to (max_seq_len, bucket) so the compiled step
-        is shared across groups."""
+        (reference surrogate.py:133-157). Groups pad to (max_seq_len,
+        shared bucket) — padded columns are masked out of the loss, so the
+        update sequence is numerically the per-group full-batch loop's."""
         if self.opt_state is None:
             self.opt_state = adam_init(self.params)
+        if num_epochs <= 0 or not dataset_conf:
+            return 0.0
 
-        padded = []
-        for conf, acc in zip(dataset_conf, dataset_acc):
-            L, N, F_ = conf.shape
-            Lp = self._padded_len(L)
-            B = _bucket(N)
-            seq = np.zeros((Lp, B, F_), np.float32)
-            seq[:L, :N] = conf
-            lengths = np.full((B,), L, np.int32)
-            tgt = np.zeros((B, 1), np.float32)
-            tgt[:N] = acc
-            mask = np.zeros((B,), np.float32)
-            mask[:N] = 1.0
-            padded.append((jnp.asarray(seq), jnp.asarray(lengths),
-                           jnp.asarray(tgt), jnp.asarray(mask)))
+        # one bucket for ALL groups so they stack into a scan-able array
+        B = _bucket(max(conf.shape[1] for conf in dataset_conf))
+        Lp = max(self._padded_len(conf.shape[0]) for conf in dataset_conf)
+        F_ = dataset_conf[0].shape[-1]
+        G = len(dataset_conf)
+        seqs = np.zeros((G, Lp, B, F_), np.float32)
+        lengths = np.zeros((G, B), np.int32)
+        tgts = np.zeros((G, B, 1), np.float32)
+        masks = np.zeros((G, B), np.float32)
+        for g, (conf, acc) in enumerate(zip(dataset_conf, dataset_acc)):
+            L, N = conf.shape[0], conf.shape[1]
+            seqs[g, :L, :N] = conf
+            lengths[g] = L
+            tgts[g, :N] = acc
+            masks[g, :N] = 1.0
 
-        loss = 0.0
-        lr = jnp.float32(lr)
-        for _ in range(num_epochs):
-            for seq, lengths, tgt, mask in padded:
-                self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state, seq, lengths, tgt, mask, lr)
+        self.params, self.opt_state, loss = self._fit_scan(
+            self.params, self.opt_state, jnp.asarray(seqs),
+            jnp.asarray(lengths), jnp.asarray(tgts), jnp.asarray(masks),
+            jnp.float32(lr), num_epochs=int(num_epochs))
         return float(loss)
 
 

@@ -112,6 +112,42 @@ def test_bank_trains_and_is_reused_across_populations():
     assert max(accs3) > 0.2
 
 
+def test_fused_epoch_scan_matches_per_batch_path():
+    """The fused lax.scan epoch program (one dispatch per epoch) and the
+    per-batch dispatch loop are the same computation: with dropout off,
+    identical shuffles (same RandomState call sequence) and identical LR
+    sequences give matching dev accuracies and near-identical final
+    parameters."""
+    args = make_args(drpt=0.0, epochs=2)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(21)            # ragged final batch on purpose
+
+    results = {}
+    for fused in (False, True):
+        # fresh loaders per path: the bank's row order is the loader's
+        # next iteration order, and a shared shuffling loader would hand
+        # the two trainers different orders
+        loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+                   "dev": ArrayLoader(data, 8)}
+        sizes = {k: v.dataset_size for k, v in loaders.items()}
+        trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                    cache_train_features=True,
+                                    fused_epochs=fused)
+        accs, params, _ = trainer.train_population(
+            CONFS, loaders, sizes, FixedScheduler(1e-2), num_epochs=3,
+            input_keys=("image", "audio"), seed=5)
+        results[fused] = (accs, params)
+
+    accs_loop, params_loop = results[False]
+    accs_scan, params_scan = results[True]
+    np.testing.assert_allclose(accs_scan, accs_loop, atol=1e-6)
+    import jax
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6),
+        params_loop, params_scan)
+
+
 def test_cache_features_flag_via_search_trainer():
     args = make_args(drpt=0.0, epochs=1)
     spec, extractor, btree = build(args)
