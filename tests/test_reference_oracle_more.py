@@ -80,9 +80,15 @@ def ref():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv_models
 
+    import models.auxiliary.inflated_resnet as ref_inflated
+    # zero egress: skip the torchvision model-zoo download, keep random init
+    ref_inflated.load_pretrained_2D_weights = lambda *a, **k: None
+
     import models.central.mm_imdb as ref_imdb
+    import models.central.ntu as ref_central_ntu
     import models.search.cifar_searchable as ref_cifar
-    return types.SimpleNamespace(imdb=ref_imdb, cifar=ref_cifar)
+    return types.SimpleNamespace(imdb=ref_imdb, cifar=ref_cifar,
+                                 central_ntu=ref_central_ntu)
 
 
 def _sd_numpy(model):
@@ -186,6 +192,102 @@ def test_simplevt_centralnet_parity(ref):
     assert len(ref_out) == 3 and len(out) == 3
     for name, r, o in zip(("text", "image", "fusion"), ref_out, out):
         _assert_close(o, r, msg=name)
+
+
+def test_simple_recurrent_model_parity(ref):
+    """2xGRU text net: pins the GRU scan and the last-valid-step gather.
+    The reference applies nn.functional.dropout(p=0.666) unconditionally —
+    even in eval mode (mm_imdb.py:144, a quirk the rebuild gates on
+    ctx.train) — so the oracle call patches it to identity."""
+    from mfas_tpu.models.mm_imdb import SimpleRecurrentModel
+
+    args = _imdb_args()
+    torch.manual_seed(4)
+    ref_model = ref.imdb.SimpleRecurrentModel(args).eval()
+    ours = SimpleRecurrentModel(args)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+
+    rs = np.random.RandomState(9)
+    text = rs.randn(3, 7, 100).astype(np.float32)
+    lengths = np.array([7, 4, 1], np.int64)
+    real_dropout = torch.nn.functional.dropout
+    torch.nn.functional.dropout = lambda x, *a, **k: x
+    try:
+        with torch.no_grad():
+            ref_out = ref_model(torch.from_numpy(text),
+                                torch.from_numpy(lengths))
+    finally:
+        torch.nn.functional.dropout = real_dropout
+    out = ours.apply(tree, Ctx(train=False),
+                     jnp.asarray(text), jnp.asarray(lengths))
+    _assert_close(out, ref_out)
+
+
+def test_vggvtnet_parity(ref):
+    from mfas_tpu.models.mm_imdb import VGGVTNet
+
+    args = _imdb_args()
+    torch.manual_seed(5)
+    ref_model = ref.imdb.VGGVTNet(args, 64, 3).eval()
+    ours = VGGVTNet(args, 64, 3)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+
+    rs = np.random.RandomState(10)
+    text = rs.randn(2, 300).astype(np.float32)
+    image = rs.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(text), torch.from_numpy(image))
+    out = ours.apply(tree, Ctx(train=False),
+                     jnp.asarray(text), jnp.asarray(image))
+    _assert_close(out, ref_out, rtol=5e-4, atol=5e-5)
+
+
+def test_vggt_centralnet_parity(ref):
+    """V1: scalar-alpha fusion + Linear central column (mm_imdb.py:258-392)."""
+    from mfas_tpu.models.mm_imdb import VGGT_CentralNet
+
+    args = _imdb_args(channels=16, fusingmix="11,24")
+    torch.manual_seed(6)
+    ref_model = ref.imdb.VGGT_CentralNet(args, 64, 3).eval()
+    ours = VGGT_CentralNet(args, 64, 3)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+
+    rs = np.random.RandomState(11)
+    text = rs.randn(2, 300).astype(np.float32)
+    image = rs.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(text), torch.from_numpy(image))
+    out = ours.apply(tree, Ctx(train=False),
+                     jnp.asarray(text), jnp.asarray(image))
+    assert len(ref_out) == 3 and len(out) == 3
+    for name, r, o in zip(("text", "image", "fusion"), ref_out, out):
+        _assert_close(o, r, rtol=5e-4, atol=5e-5, msg=name)
+
+
+def test_ntu_late_fusion_parity(ref):
+    """LateFusion over the full HCN + inflated-ResNet backbones
+    (reference models/central/ntu.py:186-200)."""
+    from mfas_tpu.models.ntu import LateFusion
+
+    args = types.SimpleNamespace(num_classes=7, num_outputs=7,
+                                 vid_len=(1, 32), drpt=0.0)
+    torch.manual_seed(7)
+    ref_model = ref.central_ntu.LateFusion(args).eval()
+    ours = LateFusion(args)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+
+    rs = np.random.RandomState(12)
+    rgb = rs.randn(2, 1, 224, 224, 3).astype(np.float32)
+    ske = rs.randn(2, 3, 32, 25, 2).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model((torch.from_numpy(rgb), torch.from_numpy(ske)))
+    out = ours.apply(tree, Ctx(train=False),
+                     (jnp.asarray(rgb), jnp.asarray(ske)))
+    _assert_close(out, ref_out, rtol=2e-3, atol=5e-4)
 
 
 def test_vggt_centralnet_v2_parity(ref):
