@@ -141,6 +141,79 @@ def test_cifar_micro_cnn_logits_parity(ref, fixed):
 
 
 # ---------------------------------------------------------------------------
+# AVMNIST hand-built baselines (reference models/central/avmnist.py:119-279)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_av(ref):
+    import models.central.avmnist as ref_avmnist
+    return ref_avmnist
+
+
+def _av_inputs(seed):
+    rs = np.random.RandomState(seed)
+    audio = rs.randn(3, 1, 112, 112).astype(np.float32)
+    image = rs.randn(3, 1, 28, 28).astype(np.float32)
+    return audio, image
+
+
+def test_simple_avnet_parity(ref_av):
+    from mfas_tpu.models.avmnist import SimpleAVNet
+
+    args = types.SimpleNamespace(channels=6, num_outputs=7)
+    torch.manual_seed(8)
+    ref_model = ref_av.SimpleAVNet(args, 1, 1).eval()
+    ours = SimpleAVNet(args, 1, 1)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+    audio, image = _av_inputs(13)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(audio), torch.from_numpy(image))
+    out = ours.apply(tree, Ctx(train=False),
+                     jnp.asarray(audio), jnp.asarray(image))
+    _assert_close(out, ref_out)
+
+
+def test_simple_avnet_deeper_parity(ref_av):
+    from mfas_tpu.models.avmnist import SimpleAVNet_Deeper
+
+    args = types.SimpleNamespace(channels=6, num_outputs=7)
+    torch.manual_seed(9)
+    ref_model = ref_av.SimpleAVNet_Deeper(args, 1, 1).eval()
+    ours = SimpleAVNet_Deeper(args, 1, 1)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+    audio, image = _av_inputs(14)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(audio), torch.from_numpy(image))
+    out = ours.apply(tree, Ctx(train=False),
+                     jnp.asarray(audio), jnp.asarray(image))
+    _assert_close(out, ref_out)
+
+
+def test_simple_av_centralnet_parity(ref_av):
+    """channels=24 is the shape-consistent choice for fusingmix='31,42,53':
+    16*channels = 384 = the hardcoded classifier width (avmnist.py:180-189),
+    mirroring the SimpleVT_CentralNet situation."""
+    from mfas_tpu.models.avmnist import SimpleAV_CentralNet
+
+    args = types.SimpleNamespace(channels=24, num_outputs=7,
+                                 fusingmix="31,42,53", fusetype="wsum")
+    torch.manual_seed(10)
+    ref_model = ref_av.SimpleAV_CentralNet(args, 1, 1).eval()
+    ours = SimpleAV_CentralNet(args, 1, 1)
+    tree = ckpt.tree_from_state_dict(_sd_numpy(ref_model),
+                                     template=ours.init(0))
+    audio, image = _av_inputs(15)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(audio), torch.from_numpy(image))
+    out = ours.apply(tree, Ctx(train=False),
+                     jnp.asarray(audio), jnp.asarray(image))
+    assert len(ref_out) == 3 and len(out) == 3
+    for name, r, o in zip(("audio", "image", "fusion"), ref_out, out):
+        _assert_close(o, r, msg=name)
+
+
+# ---------------------------------------------------------------------------
 # MM-IMDB family
 # ---------------------------------------------------------------------------
 def _imdb_args(**kw):
