@@ -363,6 +363,8 @@ class PopulationTrainer:
         self.fused_epochs = bool(fused_epochs)
         self._dev_bank = None
         self._dev_bank_key = None
+        # same ceiling as _dev_batches' max_cache_samples
+        self.MAX_DEV_BANK = 50000
         self._train_epoch = jax.jit(self._train_epoch_impl)
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
 
@@ -553,16 +555,18 @@ class PopulationTrainer:
             wm[s, :len(part)] = 1.0
         return take, wm
 
-    def _get_dev_bank(self, loader, input_keys, label_key, rng):
-        """Per-sample dev feature bank (same layout as the train bank),
-        cached across populations by loader token — dev features are
-        deterministic (eval-mode backbone, deterministic transforms)."""
+    def _cached_bank(self, which, loader, input_keys, label_key, rng):
+        """Token-keyed bank cache shared by the train and dev splits: one
+        extraction pass per loader identity, reused across populations
+        (features are deterministic — eval-mode backbone)."""
+        bank_attr, key_attr = f"_{which}_bank", f"_{which}_bank_key"
         key = self._loader_token(loader)
-        if key is not None and self._dev_bank_key == key:
-            return self._dev_bank
+        if key is not None and getattr(self, key_attr) == key:
+            return getattr(self, bank_attr)
         bank = self._build_train_bank(loader, input_keys, label_key, rng)
         if key is not None:
-            self._dev_bank, self._dev_bank_key = bank, key
+            setattr(self, bank_attr, bank)
+            setattr(self, key_attr, key)
         return bank
 
     # ----- host loop
@@ -695,21 +699,20 @@ class PopulationTrainer:
 
         bank = None
         if self.cache_train_features:
-            key = self._loader_token(dataloaders["train"])
-            if key is not None and self._train_bank_key == key:
-                bank = self._train_bank
-            else:
-                bank = self._build_train_bank(dataloaders["train"],
-                                              input_keys, label_key, rng)
-                if key is not None:
-                    self._train_bank, self._train_bank_key = bank, key
+            bank = self._cached_bank("train", dataloaders["train"],
+                                     input_keys, label_key, rng)
         bank_rs = np.random.RandomState(seed + 17)
 
         best = np.zeros((P,))
 
-        if bank is not None and self.fused_epochs:
-            dev_bank = self._get_dev_bank(dataloaders["dev"], input_keys,
-                                          label_key, rng)
+        # fused path needs the dev split as an HBM bank too — honor the
+        # same cap the streaming dev cache enforces (_dev_batches) rather
+        # than materializing an arbitrarily large split
+        use_fused = (bank is not None and self.fused_epochs
+                     and dataset_sizes.get("dev", 0) <= self.MAX_DEV_BANK)
+        if use_fused:
+            dev_bank = self._cached_bank("dev", dataloaders["dev"],
+                                         input_keys, label_key, rng)
             dev_take, dev_wm = self._epoch_index_plan(
                 int(dev_bank["label"].shape[0]),
                 dataloaders["dev"].batch_size)

@@ -78,7 +78,6 @@ class SimpleRecurrentSurrogate:
         self._predict = jax.jit(
             lambda params, seq, lengths: self.net.apply(params, Ctx(), seq,
                                                         lengths))
-        self._step = jax.jit(self._step_impl)
         self._fit_scan = jax.jit(self._fit_scan_impl,
                                  static_argnames=("num_epochs",))
 
