@@ -55,6 +55,11 @@ def parse_args():
                              'frozen-backbone features once (eval mode) and '
                              'gather shuffled batches from the bank every '
                              'epoch/population')
+    parser.add_argument('--no_fused_epochs', action='store_true',
+                        default=False,
+                        help='debug escape hatch: with --cache_features, run '
+                             'the per-batch dispatch loop instead of the '
+                             'fused one-program-per-epoch lax.scan')
     parser.add_argument('--alphas', action='store_true', default=False)
     parser.add_argument('--batchnorm', action='store_true', default=False)
     parser.add_argument('--multitask', action='store_true', default=False)

@@ -106,6 +106,11 @@ def parse_args():
                              'epoch/population — zero backbone forwards '
                              'after the first pass (freezes the '
                              'augmentation draw; candidate scoring only)')
+    parser.add_argument('--no_fused_epochs', action='store_true',
+                        default=False,
+                        help='debug escape hatch: with --cache_features, run '
+                             'the per-batch dispatch loop instead of the '
+                             'fused one-program-per-epoch lax.scan')
     parser.add_argument('--packed_datadir', type=str, default='',
                         help='packed stores (mfas_tpu.data.ntu_pack) with '
                              'subdirs trainexp/dev; bypasses AVI decode')

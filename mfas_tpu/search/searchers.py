@@ -93,7 +93,8 @@ class AVMNISTSearcher(ModelSearcher):
             self.train_fn = PopulationSearchTrainer(
                 spec, extractor, backbone_tree, ("image", "audio"),
                 mesh=mesh, sequential_fallback=seq,
-                cache_features=getattr(args, "cache_features", False))
+                cache_features=getattr(args, "cache_features", False),
+                fused_epochs=not getattr(args, "no_fused_epochs", False))
 
     def search(self):
         methods = {"train_sampled_fun": self.train_fn,
@@ -219,7 +220,8 @@ class NTUSearcher(ModelSearcher):
             self.train_fn = PopulationSearchTrainer(
                 spec, extractor, backbone_tree, ("rgb", "ske"),
                 mesh=mesh, sequential_fallback=seq, input_prep=inputs_prep,
-                cache_features=getattr(args, "cache_features", False))
+                cache_features=getattr(args, "cache_features", False),
+                fused_epochs=not getattr(args, "no_fused_epochs", False))
 
     def search(self):
         surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)
