@@ -169,23 +169,49 @@ class _BatchNorm(Module):
         shape[1] = self.num_features
 
         if ctx.train or not self.track_running_stats:
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+            # batch statistics always in f32 (mixed-precision BN practice:
+            # a bf16 forward must not degrade running stats), and centered
+            # two-pass variance: the one-pass E[x^2]-E[x]^2 form cancels
+            # catastrophically in reduced precision (post-ReLU maps with
+            # mean >> std go NEGATIVE in bf16 -> rsqrt NaN) and loses
+            # digits even in f32 vs torch's centered computation
+            xs = x.astype(jnp.float32) if x.dtype != jnp.float64 else x
+            mean = jnp.mean(xs, axis=reduce_axes)
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
+            var = jnp.mean(jnp.square(xs - mean.reshape(shape)),
+                           axis=reduce_axes)
+            if self.axis_name is not None:
+                # equal-sized shards under GSPMD: pmean of centered moments
+                # about the GLOBAL mean is the exact global variance
                 var = jax.lax.pmean(var, self.axis_name)
             if ctx.train and self.track_running_stats:
+                # running-stat updates stay in f32 regardless of the
+                # compute dtype the engine cast the tree to; the Bessel
+                # count matches the statistics' extent — GLOBAL when var
+                # was pmean'd across an axis
                 n = x.size // self.num_features
-                unbiased = var * (n / max(n - 1, 1))
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
                 m = self.momentum
-                ctx.put_update(self._join("running_mean"),
-                               (1 - m) * tree["running_mean"] + m * mean)
-                ctx.put_update(self._join("running_var"),
-                               (1 - m) * tree["running_var"] + m * unbiased)
+                rdt = jnp.promote_types(jnp.float32,
+                                        tree["running_mean"].dtype)
+                ctx.put_update(
+                    self._join("running_mean"),
+                    (1 - m) * tree["running_mean"].astype(rdt) + m * mean)
+                ctx.put_update(
+                    self._join("running_var"),
+                    (1 - m) * tree["running_var"].astype(rdt) + m * unbiased)
                 ctx.put_update(self._join("num_batches_tracked"),
                                tree["num_batches_tracked"] + 1)
+            mean = mean.astype(x.dtype)
+            var = var.astype(x.dtype)
         else:
-            mean, var = tree["running_mean"], tree["running_var"]
+            # stats may be stored at f32 while x runs at bf16 — normalize
+            # in the activation dtype either way
+            mean = tree["running_mean"].astype(x.dtype)
+            var = tree["running_var"].astype(x.dtype)
 
         out = (x - mean.reshape(shape)) * jax.lax.rsqrt(var.reshape(shape) + self.eps)
         if self.affine:

@@ -95,10 +95,16 @@ def tree_get(tree: dict, path: str):
 
 
 def tree_set(tree: dict, path: str, value) -> dict:
-    """Functionally set ``path`` in ``tree`` (returns a new nested dict)."""
+    """Functionally set ``path`` in ``tree`` (returns a new nested dict).
+    The leaf must already exist — silently grafting a new leaf would mask
+    bugs like buffer updates keyed by unfinalized (empty) module paths."""
     parts = path.split(".")
 
     def rec(node, i):
+        if parts[i] not in node:
+            raise KeyError(
+                f"tree_set: no leaf at {path!r} (missing {parts[i]!r}); "
+                "was the model finalize()d / init()ed?")
         if i == len(parts) - 1:
             new = dict(node)
             new[parts[i]] = value
@@ -180,8 +186,20 @@ class Module:
         object.__setattr__(self, "_direct_params", {})
 
     def __setattr__(self, name, value):
+        # tolerate attribute assignment before super().__init__() (common
+        # torch idiom: stash config first) — _children may not exist yet
+        children = self.__dict__.get("_children")
         if isinstance(value, Module):
-            self._children[name] = value
+            if children is None:
+                raise AttributeError(
+                    "assigning a Module child before Module.__init__; "
+                    "call super().__init__() first")
+            children[name] = value
+        elif children is not None:
+            # reassigning a child attribute to a non-Module (torch's
+            # `self.downsample = None` idiom) must unregister it, or init()
+            # would keep creating phantom parameters for it
+            children.pop(name, None)
         object.__setattr__(self, name, value)
 
     def declare_param(self, name, shape, init):

@@ -17,11 +17,19 @@ def _tmap(f, *trees, **kwargs):
 
 
 def adam_init(params):
-    """params: tree of trainable leaves (None for frozen slots)."""
-    zeros = _tmap(lambda p: None if p is None else jnp.zeros_like(p), params)
+    """params: tree of trainable leaves (None for frozen slots). m and v
+    must be INDEPENDENT arrays: under donate_argnums the whole opt state is
+    donated, and donating the same buffer twice is a runtime error on
+    hardware backends (CPU silently ignores donation, so tests won't
+    catch aliasing)."""
+
+    def zeros():
+        return _tmap(lambda p: None if p is None else jnp.zeros_like(p),
+                     params)
+
     return {
-        "m": zeros,
-        "v": _tmap(lambda p: None if p is None else jnp.zeros_like(p), params),
+        "m": zeros(),
+        "v": zeros(),
         "step": jnp.zeros((), jnp.int32),
     }
 

@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from mfas_tpu.core import functional as F
-from mfas_tpu.core.module import (Ctx, Rng, apply_updates, merge, partition,
-                                  prefix_predicate)
+from mfas_tpu.core.module import (Ctx, Rng, apply_updates, merge,
+                                  partition, prefix_predicate)
 from mfas_tpu.core.optim import adam_init, adam_update
 from mfas_tpu.parallel import mesh as pm
 
@@ -78,15 +78,23 @@ class ClassifierEngine:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---------------- compiled bodies
+    _BN_BUFFERS = ("running_mean", "running_var", "num_batches_tracked")
+
     def _cast_compute(self, tree):
+        """Cast float leaves to the compute dtype, EXCEPT BatchNorm's
+        running-stat buffers: casting them would re-quantize the carried
+        EMA to bf16 every step (the layer casts stats to the activation
+        dtype itself just for normalization)."""
         if self.compute_dtype is None:
             return tree
         dt = jnp.dtype(self.compute_dtype)
 
-        def cast(x):
+        def cast(path, x):
+            if path and getattr(path[-1], "key", None) in self._BN_BUFFERS:
+                return x
             return x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
 
-        return jax.tree_util.tree_map(cast, tree)
+        return jax.tree_util.tree_map_with_path(cast, tree)
 
     def _forward(self, tree, ctx, batch):
         if self.batch_prep is not None:
@@ -127,12 +135,8 @@ class ClassifierEngine:
             loss_fn, has_aux=True)(trainable)
         trainable, opt_state = adam_update(
             trainable, grads, opt_state, lr, weight_decay=self.weight_decay)
-        if self.compute_dtype is not None:
-            # running stats computed at compute_dtype fold back at f32 so
-            # the frozen tree's dtypes stay stable across steps
-            updates = {k: (v.astype(jnp.float32)
-                           if jnp.issubdtype(v.dtype, jnp.floating) else v)
-                       for k, v in updates.items()}
+        # BatchNorm emits running-stat updates at f32 regardless of the
+        # compute dtype (core/layers.py), so they fold back unchanged
         frozen = apply_updates(frozen, updates)
         return trainable, frozen, opt_state, loss, corrects
 

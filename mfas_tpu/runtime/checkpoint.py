@@ -50,6 +50,7 @@ _STORAGE_DTYPES = {
 }
 
 _NP_TO_STORAGE = {
+    **({_BFLOAT16: "BFloat16Storage"} if _BFLOAT16 is not None else {}),
     np.dtype("float32"): "FloatStorage",
     np.dtype("float64"): "DoubleStorage",
     np.dtype("float16"): "HalfStorage",
@@ -154,13 +155,19 @@ class _Unpickler(pickle.Unpickler):
 def load(path_or_file):
     """torch.load equivalent -> python object with numpy arrays for tensors."""
     if hasattr(path_or_file, "read"):
+        # stream source: buffer once (both sniff and parse need it)
         data = path_or_file.read()
-    else:
+        if zipfile.is_zipfile(io.BytesIO(data)):
+            return _load_zip(io.BytesIO(data))
+        return _load_legacy(io.BytesIO(data))
+    # path source: let zipfile read the file directly — no whole-file
+    # buffer, so multi-GB backbone checkpoints don't double peak memory
+    if zipfile.is_zipfile(path_or_file):
         with open(path_or_file, "rb") as f:
-            data = f.read()
-    if zipfile.is_zipfile(io.BytesIO(data)):
-        return _load_zip(io.BytesIO(data))
-    return _load_legacy(io.BytesIO(data))
+            return _load_zip(f)
+    # _load_legacy reads strictly sequentially — stream the file directly
+    with open(path_or_file, "rb") as f:
+        return _load_legacy(f)
 
 
 def _load_zip(f):
@@ -320,10 +327,22 @@ def strip_module_prefix(flat: dict) -> dict:
 
 
 def load_state_dict(path) -> dict:
-    """Load a checkpoint as a flat {dotted.path: np.ndarray} dict."""
+    """Load a checkpoint as a flat {dotted.path: np.ndarray} dict. The
+    common {'state_dict': {...}, 'epoch': N, ...} training-wrapper layout
+    is unwrapped; other non-tensor values fail loudly instead of becoming
+    0-d object arrays."""
     obj = load(path)
     if not isinstance(obj, dict):
         raise ValueError("checkpoint does not contain a state_dict")
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    bad = [k for k, v in obj.items()
+           if not isinstance(v, (np.ndarray, np.generic, int, float, bool))]
+    if bad:
+        raise ValueError(
+            f"checkpoint entries are not tensors: {bad[:5]} — not a "
+            "state_dict (wrapper layouts other than 'state_dict' are not "
+            "auto-unwrapped)")
     return strip_module_prefix({str(k): np.asarray(v) for k, v in obj.items()})
 
 

@@ -122,3 +122,34 @@ def test_backbone_tree_injection_against_torch_reference(tmp_path):
     ours = np.asarray(net(tree, Ctx(train=False), jnp.asarray(x))[0])
     theirs = tm(torch.from_numpy(x)).detach().numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_save_load_roundtrip(tmp_path):
+    """The writer must serialize bfloat16 (BFloat16Storage) symmetrically
+    with the reader."""
+    import ml_dtypes
+    from mfas_tpu.runtime import checkpoint as ckpt
+
+    sd = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)
+          .astype(ml_dtypes.bfloat16),
+          "b": np.ones((3,), np.float32)}
+    path = tmp_path / "bf16.checkpoint"
+    ckpt.save(sd, str(path))
+    back = ckpt.load(str(path))
+    assert back["w"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(back["w"].astype(np.float32),
+                                  sd["w"].astype(np.float32))
+
+
+def test_load_state_dict_unwraps_training_wrapper(tmp_path):
+    """{'state_dict': {...}, 'epoch': N} is the common torch training
+    checkpoint layout — unwrap it instead of object-arraying it."""
+    from mfas_tpu.runtime import checkpoint as ckpt
+
+    inner = {"lin.weight": np.ones((2, 2), np.float32),
+             "lin.bias": np.zeros((2,), np.float32)}
+    path = tmp_path / "wrapped.checkpoint"
+    ckpt.save({"state_dict": inner, "epoch": 3}, str(path))
+    flat = ckpt.load_state_dict(str(path))
+    assert set(flat) == set(inner)
+    np.testing.assert_array_equal(flat["lin.weight"], inner["lin.weight"])

@@ -322,3 +322,52 @@ def test_pool_as_slices_matches_reduce_window():
             F.set_pool_as_slices(False)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                       err_msg=f"k={k} s={s} p={p}")
+
+
+def test_batchnorm_bf16_large_mean_stays_finite():
+    """Centered two-pass variance: the one-pass E[x^2]-E[x]^2 form goes
+    NEGATIVE for mean >> std activations in bf16 (rsqrt -> NaN). Typical
+    post-ReLU statistics must stay finite and accurate under the --bf16
+    compute path."""
+    bn = L.BatchNorm1d(4)
+    bn.finalize()
+    tree = {k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
+            for k, v in bn.init(0).items()}
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(5.0 + 0.05 * rs.randn(64, 4), jnp.bfloat16)
+    ctx = Ctx(train=True, rng=Rng(jax.random.PRNGKey(0)))
+    out = bn(tree, ctx, x)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # normalized output of a (5, 0.05) batch is ~N(0,1): check scale
+    std = np.asarray(out, np.float32).std()
+    assert 0.5 < std < 2.0, std
+
+
+def test_module_setattr_reassignment_unregisters_child():
+    """torch idiom: build a child then overwrite the attribute with None —
+    no phantom parameters may remain."""
+    from mfas_tpu.core.module import Module
+
+    class Net(Module):
+        def __init__(self, with_down):
+            super().__init__()
+            self.lin = L.Linear(3, 3)
+            self.down = L.Linear(3, 3)
+            if not with_down:
+                self.down = None
+
+    t_with = Net(True).init(0)
+    t_without = Net(False).init(0)
+    assert any(k.startswith("down.") for k in flatten_tree(t_with))
+    assert not any(k.startswith("down.") for k in flatten_tree(t_without))
+
+
+def test_tree_set_missing_leaf_raises():
+    from mfas_tpu.core.module import tree_set
+
+    tree = {"a": {"w": jnp.zeros(2)}}
+    tree = tree_set(tree, "a.w", jnp.ones(2))          # existing: fine
+    with pytest.raises(KeyError):
+        tree_set(tree, "a.nope", jnp.ones(2))          # new leaf: refuse
+    with pytest.raises(KeyError):
+        tree_set(tree, "running_mean", jnp.ones(2))    # unfinalized-path bug
