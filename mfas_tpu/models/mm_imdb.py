@@ -246,6 +246,8 @@ class SimpleVT_CentralNet(_CentralVTBase):
         t_o1, t_o2, t_out = self.text_net(s(tree, "text_net"), ctx, text)
 
         mix = {"11,23": (gp[0], gp[2]), "11,25": (gp[0], gp[4]),
+               # '13' maps to gp2 — a reference quirk, not a typo here
+               # (mm_imdb.py:458 uses im_gp2 for fusingmix '13,25')
                "13,25": (gp[1], gp[4])}
         im1, im2 = mix[self.args.fusingmix]
         ft = self.args.fusetype

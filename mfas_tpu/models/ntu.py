@@ -29,7 +29,6 @@ from mfas_tpu.core.module import Module, ModuleList, Sequential
 from mfas_tpu.models.resnet3d import inflated_resnet50
 
 _XU = I.xavier_uniform
-_B0 = lambda shape: I.zeros  # noqa: E731
 
 
 def _conv(in_ch, out_ch, k, padding=0):

@@ -167,6 +167,13 @@ def extract_shared_states(params, bn_state, confs, spec, state_dict,
     H, ca, cb = spec.hidden, spec.cmax_a, spec.cmax_b
     W = np.asarray(params["W"])
     b = np.asarray(params["b"])
+    if spec.batchnorm:
+        # one bulk D2H transfer per array — per-(candidate,row) device
+        # indexing would cost a round-trip each on remote deployments
+        bn_scale = np.asarray(params["bn_scale"])
+        bn_bias = np.asarray(params["bn_bias"])
+        bn_mean = np.asarray(bn_state["mean"])
+        bn_var = np.asarray(bn_state["var"])
     for p, conf in enumerate(confs):
         conf = np.asarray(conf)
         for r in range(len(conf)):
@@ -180,10 +187,10 @@ def extract_shared_states(params, bn_state, confs, spec, state_dict,
             if spec.batchnorm:
                 # BN sits at Sequential slot 2 (Linear, act, BN, Dropout)
                 entry["2"] = {
-                    "weight": np.asarray(params["bn_scale"][p, r]).copy(),
-                    "bias": np.asarray(params["bn_bias"][p, r]).copy(),
-                    "running_mean": np.asarray(bn_state["mean"][p, r]).copy(),
-                    "running_var": np.asarray(bn_state["var"][p, r]).copy(),
+                    "weight": bn_scale[p, r].copy(),
+                    "bias": bn_bias[p, r].copy(),
+                    "running_mean": bn_mean[p, r].copy(),
+                    "running_var": bn_var[p, r].copy(),
                     "num_batches_tracked": np.asarray(0, np.int32),
                 }
             key = shared_weight_key(r, in_size, H, conf[r, 2])
@@ -246,9 +253,12 @@ def inject_shared_states(params, bn_state, confs, spec, state_dict,
 # per-candidate forward (vmapped over the population axis)
 # --------------------------------------------------------------------------
 def _candidate_forward(spec, params_c, bn_c, conf_c, feats_a, feats_b,
-                       train, rng_c):
+                       train, rng_c, wmask=None):
     """One candidate's fusion head over shared padded taps.
-    feats_a: (B, n_taps_a, cmax_a); returns (logits, new_bn_state)."""
+    feats_a: (B, n_taps_a, cmax_a); returns (logits, new_bn_state).
+    wmask (B,): validity weights — a ragged final batch is padded by
+    repeating a sample, and BatchNorm statistics must cover only the real
+    rows (the reference normalizes over the true smaller batch)."""
     B = feats_a.shape[0]
     H = spec.hidden
     out = jnp.zeros((B, H), feats_a.dtype)
@@ -271,10 +281,16 @@ def _candidate_forward(spec, params_c, bn_c, conf_c, feats_a, feats_b,
 
         if spec.batchnorm:
             if train:
-                mean = jnp.mean(h, axis=0)
-                var = jnp.mean(jnp.square(h), axis=0) - jnp.square(mean)
-                n = h.shape[0]
-                unbiased = var * (n / max(n - 1, 1))
+                # masked + centered statistics (same numerics rationale as
+                # core _BatchNorm: the one-pass form cancels; the mask
+                # excludes padding-duplicated rows of ragged batches)
+                w = (jnp.ones((B,), h.dtype) if wmask is None
+                     else wmask.astype(h.dtype))
+                cnt = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(h * w[:, None], axis=0) / cnt
+                var = jnp.sum(jnp.square(h - mean) * w[:, None],
+                              axis=0) / cnt
+                unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
                 new_mean.append(0.9 * bn_c["mean"][r] + 0.1 * mean)
                 new_var.append(0.9 * bn_c["var"][r] + 0.1 * unbiased)
             else:
@@ -429,7 +445,7 @@ class PopulationTrainer:
 
         def fwd(params_c, bn_c, conf_c, rng_c):
             return _candidate_forward(spec, params_c, bn_c, conf_c,
-                                      fa, fb, train, rng_c)
+                                      fa, fb, train, rng_c, wmask=wmask)
 
         logits, new_bn = jax.vmap(fwd, in_axes=(0, 0, 0, 0))(
             params, bn_state, conf, rngs)      # (P, B, O)

@@ -38,7 +38,8 @@ class ModelSearcher:
 
     # ----- checkpointing (additive, SURVEY §5.3)
     def _save_state(self, path, s_data, temperature, si, progression_index,
-                    sampled_k_confs, surrogate):
+                    sampled_k_confs, surrogate, shared_weights=None,
+                    trainer=None):
         if not path:
             return
         state = {
@@ -50,6 +51,13 @@ class ModelSearcher:
             "sampled_k_confs": [np.asarray(c) for c in sampled_k_confs],
             "surrogate_params": _tree_to_numpy(
                 getattr(surrogate, "params", None)),
+            # a resumed run must replay the uncrashed trajectory exactly:
+            # the weight-sharing store, the surrogate's Adam moments, and
+            # the candidate-init seed counter are all part of that state
+            "shared_weights": shared_weights,
+            "surrogate_opt_state": _tree_to_numpy(
+                getattr(surrogate, "opt_state", None)),
+            "trainer_seed": getattr(trainer, "_seed", None),
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -86,6 +94,14 @@ class ModelSearcher:
             sampled_k_confs = [np.asarray(c) for c in st["sampled_k_confs"]]
             if st.get("surrogate_params") is not None:
                 surrogate.params = _tree_from_numpy(st["surrogate_params"])
+            if st.get("surrogate_opt_state") is not None:
+                surrogate.opt_state = _tree_from_numpy(
+                    st["surrogate_opt_state"])
+            if st.get("shared_weights") is not None:
+                shared_weights = st["shared_weights"]
+            if (st.get("trainer_seed") is not None
+                    and hasattr(train_sampled_models, "_seed")):
+                train_sampled_models._seed = st["trainer_seed"]
             resume_after = (st["si"], st["progression_index"])
             if self.args.verbose:
                 print("Resuming search after iteration {} step {}".format(
@@ -168,7 +184,9 @@ class ModelSearcher:
                     n_scored=len(all_configurations),
                     surrogate_size=len(s_data))
                 self._save_state(state_path, s_data, temperature, si,
-                                 progression_index, sampled_k_confs, surrogate)
+                                 progression_index, sampled_k_confs, surrogate,
+                                 shared_weights=shared_weights,
+                                 trainer=train_sampled_models)
 
         return s_data
 

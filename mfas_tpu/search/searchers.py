@@ -190,10 +190,10 @@ class NTUSearcher(ModelSearcher):
         extractor = f_ntu.NTUFeatureExtractor(args)
         template = extractor.init(0)
         ske_tree = _load_backbone_tree(
-            os.path.join(args.checkpointdir, args.ske_cp),
+            os.path.join(args.checkpointdir, args.ske_cp) if args.ske_cp else "",
             template["skenet"], random_ok=getattr(args, "random_backbones", False))
         rgb_tree = _load_backbone_tree(
-            os.path.join(args.checkpointdir, args.rgb_cp),
+            os.path.join(args.checkpointdir, args.rgb_cp) if args.rgb_cp else "",
             template["rgbnet"], random_ok=getattr(args, "random_backbones", False))
         backbone_tree = {"rgbnet": rgb_tree, "skenet": ske_tree}
 

@@ -86,8 +86,6 @@ class SequentialSearchTrainer:
         accs = []
         models = []
         for idx, configuration in enumerate(sampled_configurations):
-            if return_model and idx not in return_model:
-                continue
             model = searchable_type(args, configuration)
             self._seed += 1
             tree = model.init(self._seed)
@@ -116,7 +114,7 @@ class SequentialSearchTrainer:
                 state_dict = get_central_states(model, best_tree, state_dict,
                                                 verbose=args.verbose)
             accs.append(float(best_acc))
-            if return_model:
+            if idx in return_model:
                 models.append((model, best_tree))
         if return_model:
             return accs, models

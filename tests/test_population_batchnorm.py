@@ -103,3 +103,53 @@ def test_population_bn_matches_torch(train):
             np.testing.assert_allclose(
                 np.asarray(new_bn["var"][r]), bn.running_var.numpy(),
                 rtol=1e-4, atol=1e-6, err_msg=f"running_var row {r}")
+
+
+def test_population_bn_masked_ragged_batch_matches_torch_true_batch():
+    """A ragged final batch is padded by repeating a sample with wmask=0;
+    BN statistics must cover only the real rows — exactly what torch
+    computes over the true smaller batch (the reference never pads)."""
+    spec = PopulationSpec(sizes_a=SIZES_A, sizes_b=SIZES_B, hidden=H,
+                          num_outputs=3, max_rows=4, batchnorm=True,
+                          drpt=0.0, use_alphas=False, multitask=False)
+    conf = [[2, 0, 0], [1, 3, 1]]
+    params, bn_state = init_population([np.array(conf)], spec, seed=0)
+    rs = np.random.RandomState(2)
+    bn_state = {"mean": jnp.asarray(rs.randn(1, 4, H).astype(np.float32) * 0.1),
+                "var": jnp.asarray(1.0 + 0.3 * rs.rand(1, 4, H).astype(np.float32))}
+
+    valid = 3                                   # true batch
+    fa_t = rs.randn(valid, 4, max(SIZES_A)).astype(np.float32)
+    fb_t = rs.randn(valid, 4, max(SIZES_B)).astype(np.float32)
+    for i, s in enumerate(SIZES_A):
+        fa_t[:, i, s:] = 0.0
+    for i, s in enumerate(SIZES_B):
+        fb_t[:, i, s:] = 0.0
+    # padded batch: repeat row 0, mask it out
+    fa = np.concatenate([fa_t, np.repeat(fa_t[:1], B - valid, 0)], 0)
+    fb = np.concatenate([fb_t, np.repeat(fb_t[:1], B - valid, 0)], 0)
+    wmask = np.zeros((B,), np.float32)
+    wmask[:valid] = 1.0
+
+    enc = encode_confs([np.array(conf)], spec)
+    got, new_bn = _candidate_forward(
+        spec, {k: v[0] for k, v in params.items()},
+        {k: v[0] for k, v in bn_state.items()},
+        {k: jnp.asarray(v)[0] for k, v in enc.items()},
+        jnp.asarray(fa), jnp.asarray(fb), True, jnp.zeros(2, jnp.uint32),
+        wmask=jnp.asarray(wmask))
+
+    layers = build_torch_chain(conf, params, bn_state)
+    want = torch_forward(conf, layers, np.asarray(params["cls_w"])[0],
+                         np.asarray(params["cls_b"])[0], fa_t, fb_t, True)
+    # valid rows' logits equal the true-batch torch forward
+    np.testing.assert_allclose(np.asarray(got)[:valid], want,
+                               rtol=1e-4, atol=1e-5)
+    # running stats equal torch's true-batch update
+    for r, (_, bn) in enumerate(layers):
+        np.testing.assert_allclose(
+            np.asarray(new_bn["mean"][r]), bn.running_mean.numpy(),
+            rtol=1e-4, atol=1e-6, err_msg=f"running_mean row {r}")
+        np.testing.assert_allclose(
+            np.asarray(new_bn["var"][r]), bn.running_var.numpy(),
+            rtol=1e-4, atol=1e-6, err_msg=f"running_var row {r}")

@@ -83,3 +83,50 @@ def test_resume_flag_off_restarts(tmp_path):
     s2 = Searcher(make_args(path, resume=False))
     d2 = s2.search()
     assert len(_as_pairs(d2)) > 0
+
+
+def test_resume_restores_shared_weights_and_trainer_seed(tmp_path):
+    """The weight-sharing store and the candidate-init seed counter are part
+    of the resumable state — without them a resumed --weightsharing search
+    retrains candidates from scratch with different inits."""
+    state_path = str(tmp_path / "s.pkl")
+
+    class SeededTrainer:
+        def __init__(self):
+            self._seed = 0
+            self.stores = []
+
+        def __call__(self, confs, model_type, dataloaders, a, device,
+                     state_dict=None):
+            accs = []
+            for c in confs:
+                self._seed += 1
+                state_dict[f"k{self._seed}"] = np.asarray(c).copy()
+                accs.append(scripted_acc(c))
+            self.stores.append(dict(state_dict))
+            return accs
+
+    def run(resume, trainer):
+        np.random.seed(0)
+        args = make_args(state_path, resume=resume)
+        s = Searcher(args)
+        s.train_fn = trainer
+        methods = {"train_sampled_fun": trainer,
+                   "get_layer_confs": get_layer_confs}
+        return s._epnas(None, {"model": _NullSurrogate(), "criterion": None},
+                        {}, methods)
+
+    t_full = SeededTrainer()
+    full = _as_pairs(run(False, t_full))
+
+    # crash after step 1 of 3: resume from the step-1 snapshot
+    shutil.copy(state_path + ".step1", state_path)
+    t_res = SeededTrainer()          # fresh trainer: seed counter restarts
+    resumed = _as_pairs(run(True, t_res))
+    assert resumed == full
+    # the seed counter continued from the restored value, so the resumed
+    # trainer's NEW store keys pick up where the full run's left off
+    assert t_res._seed == t_full._seed
+    final_full = t_full.stores[-1]
+    final_res = t_res.stores[-1]
+    assert set(final_res) == set(final_full)
