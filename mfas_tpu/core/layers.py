@@ -169,22 +169,23 @@ class _BatchNorm(Module):
         shape[1] = self.num_features
 
         if ctx.train or not self.track_running_stats:
-            # batch statistics always in f32 (mixed-precision BN practice:
-            # a bf16 forward must not degrade running stats), and centered
-            # two-pass variance: the one-pass E[x^2]-E[x]^2 form cancels
-            # catastrophically in reduced precision (post-ReLU maps with
-            # mean >> std go NEGATIVE in bf16 -> rsqrt NaN) and loses
-            # digits even in f32 vs torch's centered computation
+            # batch statistics always in f32: computing E[x^2]-E[x]^2 at
+            # bf16 cancels catastrophically (post-ReLU maps with mean >>
+            # std go NEGATIVE -> rsqrt NaN). At f32 the cancellation is
+            # ~mean^2 * 6e-8 — negligible against eps=1e-5 — and the
+            # one-pass form lets XLA fuse both reductions into a single
+            # read of the activations (a centered two-pass costs an extra
+            # full HBM pass per BN on this memory-bound network, measured
+            # ~15% on the found-train step). The clamp guards pathological
+            # means.
             xs = x.astype(jnp.float32) if x.dtype != jnp.float64 else x
             mean = jnp.mean(xs, axis=reduce_axes)
+            sqmean = jnp.mean(jnp.square(xs), axis=reduce_axes)
             if self.axis_name is not None:
+                # pmean of the raw moments gives exact global statistics
                 mean = jax.lax.pmean(mean, self.axis_name)
-            var = jnp.mean(jnp.square(xs - mean.reshape(shape)),
-                           axis=reduce_axes)
-            if self.axis_name is not None:
-                # equal-sized shards under GSPMD: pmean of centered moments
-                # about the GLOBAL mean is the exact global variance
-                var = jax.lax.pmean(var, self.axis_name)
+                sqmean = jax.lax.pmean(sqmean, self.axis_name)
+            var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
             if ctx.train and self.track_running_stats:
                 # running-stat updates stay in f32 regardless of the
                 # compute dtype the engine cast the tree to; the Bessel
