@@ -34,6 +34,7 @@ fenced by a scalar host transfer; wall-clock sections are fenced by the
 host fetches their loops already perform.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -152,8 +153,7 @@ def bench_proxy(detail):
 
     t_backbone_bf16 = None
     if with_bf16:
-        spec_bf16 = PopulationSpec(**{**spec.__dict__,
-                                      "feature_dtype": "bfloat16"})
+        spec_bf16 = dataclasses.replace(spec, feature_dtype="bfloat16")
         trainer_bf16 = PopulationTrainer(spec_bf16, extractor.apply,
                                          backbone_tree)
 
@@ -235,9 +235,11 @@ def bench_proxy(detail):
             trainable, frozen, opt, batch, jnp.float32(1e-3), key)
         cost = lowered.cost_analysis()
         if cost is None:
-            # some jax versions only expose cost analysis post-compile;
-            # the HLO is already in the backend's compile cache so this is
-            # cheap
+            # some jax versions only expose cost analysis post-compile.
+            # NOTE: this compiles the bare (scan-less) step — a fresh HLO,
+            # potentially minutes through a remote-compile tunnel; it only
+            # runs on jax versions whose pre-compile cost_analysis is None,
+            # and the persistent compile cache amortizes repeats
             cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -446,7 +448,10 @@ def bench_search_wallclock(detail, tmp_root):
             "reported as pop_cold); seq = candidates x measured WARM "
             "per-candidate training wall-clock (per-candidate XLA compile "
             "and model-build excluded, matching basis: the reference pays "
-            "no per-candidate compile)"),
+            "no per-candidate compile). Conservative in the pop's favor on "
+            "one axis only: all candidates are charged the measured 2-row "
+            "head cost though the 32 level-0 entries train 1-row heads — "
+            "immaterial at 256px where the backbone forward dominates"),
     })
 
 

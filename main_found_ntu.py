@@ -134,9 +134,17 @@ def get_dataloaders(args):
         }
     else:
         datasets = {
-            'train': d.NTU(args.datadir, transform=tfm_tra, stage='train', args=args),
-            'dev': d.NTU(args.datadir, transform=tfm_val, stage='dev', args=args),
-            'test': d.NTU(args.datadir, transform=tfm_val, stage='test', args=args),
+            # vid_dim/vi_fr forwarded (repair: the reference parses these
+            # flags but never passes them to NTU, silently using 256/30)
+            'train': d.NTU(args.datadir, transform=tfm_tra, stage='train',
+                           vid_dim=int(args.vid_dim), vid_fr=int(args.vi_fr),
+                           args=args),
+            'dev': d.NTU(args.datadir, transform=tfm_val, stage='dev',
+                         vid_dim=int(args.vid_dim), vid_fr=int(args.vi_fr),
+                         args=args),
+            'test': d.NTU(args.datadir, transform=tfm_val, stage='test',
+                          vid_dim=int(args.vid_dim), vid_fr=int(args.vi_fr),
+                          args=args),
         }
     return {k: MapLoader(v, args.batchsize, shuffle=(k == 'train'),
                          num_workers=args.num_workers)
@@ -164,24 +172,35 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
     if args.test_cp == '':
         nbpe = sizes['train'] / args.batchsize
 
-        if args.verbose:
-            print('Pretraining central weights: ')
-            print(configuration)
-        scheduler = LRCosineAnnealingScheduler(
-            args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
-        interm_acc, tree = engine.train_track_acc(
-            tree, model.central_params(),
-            {k: dataloaders[k] for k in ('train', 'dev')}, sizes, scheduler,
-            num_epochs=1, print_loss=args.verbose)
-        if args.verbose:
-            print('Intermediate val accuracy: ' + str(interm_acc))
+        state_path = getattr(args, 'train_state', '') or None
+        resuming = (getattr(args, 'resume', False) and state_path
+                    and os.path.exists(state_path))
+        if resuming:
+            # phase 2's resume load replaces the whole training state, so
+            # re-running the phase-1 central pretrain would be an epoch of
+            # wasted backbone compute
+            if args.verbose:
+                print('Resuming phase 2 from ' + state_path
+                      + ' (central pretrain skipped)')
+        else:
+            if args.verbose:
+                print('Pretraining central weights: ')
+                print(configuration)
+            scheduler = LRCosineAnnealingScheduler(
+                args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
+            interm_acc, tree = engine.train_track_acc(
+                tree, model.central_params(),
+                {k: dataloaders[k] for k in ('train', 'dev')}, sizes,
+                scheduler, num_epochs=1, print_loss=args.verbose)
+            if args.verbose:
+                print('Intermediate val accuracy: ' + str(interm_acc))
 
         scheduler = LRCosineAnnealingScheduler(
             args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
         best_acc, tree = engine.train_track_acc(
             tree, None, {k: dataloaders[k] for k in ('train', 'dev')}, sizes,
             scheduler, num_epochs=args.epochs, print_loss=args.verbose,
-            state_path=getattr(args, 'train_state', '') or None,
+            state_path=state_path,
             resume=getattr(args, 'resume', False))
         if args.verbose:
             print('Final val accuracy: ' + str(best_acc))

@@ -175,10 +175,14 @@ class NTUSearcher(ModelSearcher):
                                transform=tfm_val, args=args,
                                device_normalize=dev_norm)
         else:
+            vd = int(getattr(args, "vid_dim", 256))
+            vf = int(getattr(args, "vi_fr", 30))
             ds_train = ntu_data.NTU(args.datadir, transform=tfm_tra,
-                                    stage="trainexp", args=args)
+                                    stage="trainexp", vid_dim=vd, vid_fr=vf,
+                                    args=args)
             ds_dev = ntu_data.NTU(args.datadir, transform=tfm_val,
-                                  stage="dev", args=args)
+                                  stage="dev", vid_dim=vd, vid_fr=vf,
+                                  args=args)
         self.dataloaders = {
             "train": MapLoader(ds_train, args.batchsize, shuffle=True,
                                seed=getattr(args, "data_seed", 0),

@@ -22,6 +22,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _enable_cache():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+
 INNER = 4
 
 
@@ -82,13 +88,18 @@ def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False):
                                      length=INNER)
             return jnp.sum(losses)
 
-        return lambda: loop(trainable, frozen, opt)
+        # trace + compile NOW, while the layout flags are held — a caller
+        # invoking the closure later (flags already reset) must not
+        # silently trace the default kernels
+        loop_c = loop.lower(trainable, frozen, opt).compile()
+        return lambda: loop_c(trainable, frozen, opt)
     finally:
         F.set_conv_channels_last(False)
         F.set_conv3d_as_2d(False)
 
 
 def main():
+    _enable_cache()
     variants = [
         ("f32_B16", 16, None, False, False),
         ("bf16_B16", 16, "bfloat16", False, False),
@@ -104,18 +115,10 @@ def main():
     for name, B, dt, cl, as2d in variants:
         if only and name not in only:
             continue
-        # NOTE: the layout flags must stay enabled while the variant TRACES
-        # (first call inside _timeit's warmup) — re-enable around the
-        # measurement.
-        from mfas_tpu.core import functional as F
+        # build_step traces AND compiles under the requested layout flags,
+        # so the returned closure is safe to call with flags reset
         fn = build_step(B, 256, dt, cl, as2d)
-        F.set_conv_channels_last(cl)
-        F.set_conv3d_as_2d(as2d)
-        try:
-            t = _timeit(fn)
-        finally:
-            F.set_conv_channels_last(False)
-            F.set_conv3d_as_2d(False)
+        t = _timeit(fn)
         results[name] = {"step_s": round(t, 4),
                          "clips_per_s": round(B / t, 1)}
         print(name, results[name], flush=True)

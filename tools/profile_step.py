@@ -29,6 +29,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+INNER = 4  # scan length used by build()
+
+def _enable_cache():
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
+
+
 
 def _args(**kw):
     d = dict(num_outputs=60, vid_len=(8, 32), drpt=0.4,
@@ -69,7 +77,7 @@ def build(what, B, IMG, bf16):
                                 x + acc.astype(x.dtype) * eps)
                 return jnp.sum(out[-1].astype(jnp.float32)), None
 
-            acc, _ = lax.scan(body, jnp.float32(0), None, length=4)
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
             return acc
 
         return loop, (tree, rgb, dt(0)), "loop"
@@ -100,7 +108,7 @@ def build(what, B, IMG, bf16):
             return (trainable, frozen, opt), loss
 
         carry, losses = lax.scan(body, (trainable, frozen, opt), None,
-                                 length=4)
+                                 length=INNER)
         return jnp.sum(losses)
 
     return loop, (trainable, frozen, opt), "loop"
@@ -152,7 +160,7 @@ def profile(loop, args, name):
             top[e["name"]] += e["dur"]
             total += e["dur"]
 
-    iters = 4
+    iters = INNER          # the lax.scan length baked into build()
     print(f"wall {wall*1e3/iters:.2f} ms/iter, device busy "
           f"{total/1e3/iters:.2f} ms/iter (dispatch/tunnel overhead = diff)")
     print("\nby framework op (ms/iter):")
@@ -164,6 +172,7 @@ def profile(loop, args, name):
 
 
 def main():
+    _enable_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--what", choices=("found_train", "visual_fwd"),
                    default="found_train")
