@@ -160,3 +160,26 @@ def test_cache_features_flag_via_search_trainer():
     accs = pop(CONFS[:2], fa.Searchable_Audio_Image_Net, loaders, args)
     assert len(accs) == 2 and all(0.0 <= a <= 1.0 for a in accs)
     assert pop.trainer._train_bank is not None
+
+
+def test_bf16_feature_bank_trains():
+    """--bf16_features + --cache_features (the recommended fast search
+    config): the bank stores bfloat16, the fused scan casts gathers back
+    to f32, training proceeds and learns."""
+    import dataclasses
+
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    spec = dataclasses.replace(spec, feature_dtype="bfloat16")
+    data = synthetic_avmnist(32)
+    loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+               "dev": ArrayLoader(data, 8)}
+    sizes = {k: v.dataset_size for k, v in loaders.items()}
+    trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                cache_train_features=True)
+    accs, params, _ = trainer.train_population(
+        CONFS, loaders, sizes, FixedScheduler(1e-2), num_epochs=6,
+        input_keys=("image", "audio"), seed=0)
+    assert trainer._train_bank["fa"].dtype == jnp.bfloat16
+    assert all(np.isfinite(a) and 0.0 <= a <= 1.0 for a in accs)
+    assert max(accs) > 0.2            # learns, like the f32 bank test
