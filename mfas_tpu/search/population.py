@@ -667,17 +667,12 @@ class PopulationTrainer:
     def _bank_batches(self, bank, batch_size, shuffle_rs):
         """Yield (fa, fb, lb, la, label, wmask) batches device-gathered from
         the bank under a fresh host-side shuffle (the loader-equivalent
-        reshuffle the bank keeps, unlike naive batch replay)."""
+        reshuffle the bank keeps, unlike naive batch replay). Batch plan
+        (incl. ragged-final-batch padding) shared with the fused path via
+        _epoch_index_plan."""
         n = int(bank["label"].shape[0])
-        idx = shuffle_rs.permutation(n)
-        for start in range(0, n, batch_size):
-            take = idx[start:start + batch_size]
-            valid = len(take)
-            wmask = np.zeros((batch_size,), np.float32)
-            wmask[:valid] = 1.0
-            if valid < batch_size:
-                take = np.concatenate(
-                    [take, np.repeat(take[:1], batch_size - valid)])
+        takes, wmasks = self._epoch_index_plan(n, batch_size, shuffle_rs)
+        for take, wmask in zip(takes, wmasks):
             got = self._bank_gather(bank, jnp.asarray(take, jnp.int32))
             fa = got["fa"].astype(jnp.float32)
             fb = got["fb"].astype(jnp.float32)

@@ -114,7 +114,7 @@ def build(what, B, IMG, bf16):
     return loop, (trainable, frozen, opt), "loop"
 
 
-def profile(loop, args, name):
+def profile(loop, args):
     import jax
 
     lowered = loop.lower(*args)
@@ -181,7 +181,7 @@ def main():
     p.add_argument("--bf16", action="store_true", default=False)
     a = p.parse_args()
     loop, args, name = build(a.what, a.batch, a.img, a.bf16)
-    profile(loop, args, name)
+    profile(loop, args)
 
 
 if __name__ == "__main__":
