@@ -142,3 +142,24 @@ def test_packed_ntu_roundtrip(tmp_path):
     # skeleton was centered on joint 2 of person 1
     # (applied before NormalizeLen interp; values finite)
     assert np.isfinite(s["ske"]).all()
+
+
+def test_parse_skeleton_rejects_truncated_file(tmp_path):
+    """A file cut off mid-frame must raise, not parse into silent zeros
+    (the Python oracle raises on the same input)."""
+    import pytest
+    from mfas_tpu.data import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    good = (
+        "2\n"
+        "1\n"
+        "0 0 0 0 0 0 0 0 0 0\n"
+        "25\n" + "0.1 0.2 0.3 0 0 0 0 0 0 0 0 0\n" * 25
+    )
+    # second frame declared but missing -> truncated
+    f = tmp_path / "trunc.skeleton"
+    f.write_text(good)
+    with pytest.raises(IOError):
+        native.parse_skeleton(str(f), 8)
