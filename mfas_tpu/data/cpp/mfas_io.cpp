@@ -34,7 +34,9 @@ extern "C" {
 // order (C-contiguous (3, T, 25, 2) with T = max_frames).
 // Persons beyond 2 are parsed and dropped (the reference swallows them,
 // datasets/ntu.py:66-71). NaNs are zeroed. Returns the frame count in the
-// file, or -1 on error.
+// file, -1 on IO error, or -2 on a truncated/malformed file (premature
+// EOF, or implausible person/joint counts that would desync the scanner
+// into silently writing zeros — the Python oracle raises on such files).
 int mfas_parse_skeleton(const char* path, float* out, int max_frames) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
@@ -68,7 +70,7 @@ int mfas_parse_skeleton(const char* path, float* out, int max_frames) {
 
     long num_frames = read_int();
     next_line();
-    if (num_frames <= 0) return -1;
+    if (num_frames <= 0 || num_frames > 100000) return -2;
 
     const long T = max_frames;
     const long joint_stride = 2;            // persons
@@ -76,14 +78,18 @@ int mfas_parse_skeleton(const char* path, float* out, int max_frames) {
     const long coord_stride = T * 25 * 2;
 
     for (long t = 0; t < num_frames; ++t) {
+        if (p >= end) return -2;             // truncated mid-file
         long nb_person = read_int();
         next_line();
+        if (nb_person < 0 || nb_person > 16) return -2;
         for (long person = 0; person < nb_person; ++person) {
             next_line();                     // person info line
             long nj = read_int();            // joint-count line
             next_line();
             if (nj <= 0) nj = 25;
+            if (nj > 100) return -2;
             for (long j = 0; j < nj; ++j) {
+                if (p >= end) return -2;     // truncated mid-joint
                 float x = read_float();
                 float y = read_float();
                 float z = read_float();
@@ -114,6 +120,7 @@ void mfas_gather_normalize_u8(const uint8_t* base, const int64_t* indices,
                               const float* mean, const float* stddev,
                               int channels, float* out, int num_threads) {
     if (num_threads < 1) num_threads = 1;
+    if (num_threads > n_idx) num_threads = (int)n_idx;   // no idle spawns
     // precompute per-channel scale/bias: (v/255 - mean)/std = v*s + b
     std::vector<float> scale(channels), bias(channels);
     for (int c = 0; c < channels; ++c) {
@@ -154,6 +161,7 @@ void mfas_gather_normalize_u8(const uint8_t* base, const int64_t* indices,
 void mfas_gather_f32(const float* base, const int64_t* indices, int64_t n_idx,
                      int64_t sample_elems, float* out, int num_threads) {
     if (num_threads < 1) num_threads = 1;
+    if (num_threads > n_idx) num_threads = (int)n_idx;   // no idle spawns
     std::atomic<int64_t> cursor(0);
     auto worker = [&]() {
         for (;;) {

@@ -38,7 +38,6 @@ class ArrayLoader:
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self._rng = np.random.RandomState(seed)
-        self._epoch = 0
 
     @property
     def dataset_size(self):
@@ -51,7 +50,6 @@ class ArrayLoader:
         idx = self.indices.copy()
         if self.shuffle:
             self._rng.shuffle(idx)
-        self._epoch += 1
         bs = self.batch_size
         for start in range(0, len(idx), bs):
             take = idx[start:start + bs]

@@ -18,7 +18,23 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "cpp", "mfas_io.cpp")
-_SO = os.path.join(_HERE, "cpp", "libmfas_io.so")
+
+
+def _host_tag():
+    """Short tag of the build host's CPU: -march=native code carried to a
+    different machine (image copy, rsync) must trigger a rebuild rather
+    than SIGILL at the first call."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            txt = "".join(l for l in f if l.startswith(("model name",
+                                                        "flags")))
+    except OSError:
+        txt = os.uname().machine
+    return hashlib.md5(txt.encode()).hexdigest()[:10]
+
+
+_SO = os.path.join(_HERE, "cpp", f"libmfas_io-{_host_tag()}.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -79,6 +95,8 @@ def parse_skeleton(path, max_frames):
         out[:, :T] = full[:, :T]
         return out, full.shape[1]
     n = lib.mfas_parse_skeleton(path.encode(), _fptr(out), max_frames)
+    if n == -2:
+        raise IOError(f"truncated or malformed skeleton file {path}")
     if n < 0:
         raise IOError(f"failed to parse skeleton file {path}")
     return out, n

@@ -56,7 +56,9 @@ def pack_ntu(root_dir, out_dir, stage, args=None, frames=DEFAULT_FRAMES,
     labels = np.zeros((n,), np.int32)
 
     for i in range(n):
-        video = ntu_data.load_video(ds.rgb_list[i], vid_len=frames)
+        # the probe already decoded sample 0 — don't decode it twice
+        video = first if i == 0 else ntu_data.load_video(ds.rgb_list[i],
+                                                         vid_len=frames)
         rgb[i] = np.clip(video, 0, 255).astype(np.uint8)
         parsed, true_len = native.parse_skeleton(ds.ske_list[i],
                                                  max_skel_frames)
@@ -152,8 +154,14 @@ def make_device_normalize_prep(use_pallas=None):
 
     def prep(batch):
         batch = dict(batch)
-        batch["rgb"] = u8_normalize(batch["rgb"], IMAGENET_MEAN,
-                                    IMAGENET_STD, use_pallas=use_pallas)
+        rgb = batch["rgb"]
+        if rgb.shape[-1] == 3:
+            batch["rgb"] = u8_normalize(rgb, IMAGENET_MEAN, IMAGENET_STD,
+                                        use_pallas=use_pallas)
+        else:
+            # skeleton-only runs carry a dummy rgb placeholder — just cast
+            import jax.numpy as _jnp
+            batch["rgb"] = rgb.astype(_jnp.float32)
         return batch
 
     return prep
@@ -176,7 +184,8 @@ def make_device_normalize_inputs_prep(use_pallas=None):
         return tuple(
             u8_normalize(x, IMAGENET_MEAN, IMAGENET_STD,
                          use_pallas=use_pallas)
-            if x.dtype == jnp.uint8 else x
+            if (x.dtype == jnp.uint8 and x.shape[-1] == 3)
+            else (x.astype(jnp.float32) if x.dtype == jnp.uint8 else x)
             for x in inputs)
 
     return prep

@@ -25,7 +25,10 @@ _LANE = 128
 _CHAN_TILE = 3 * _LANE          # last-dim width: channel phase aligns per row
 _ROW_ALIGN = 8                  # sublane divisibility requirement
 _PAD_UNIT = _CHAN_TILE * _ROW_ALIGN
-_MAX_ROWS = 4096                # 4096*384 elems: ~6 MB f32 + 1.5 MB u8 VMEM
+# 2048*384 elems: ~3 MB f32 out + 0.75 MB u8 in per block; Mosaic double-
+# buffers both for pipelining, so the true VMEM footprint is ~2x — 4096
+# rows would sit at ~15 of 16 MiB with no headroom
+_MAX_ROWS = 2048
 
 
 def _affine_from_stats(mean, std):
@@ -82,6 +85,11 @@ def u8_normalize(x_u8, mean, std, frame_indices=None, use_pallas=True,
 
     frame_indices: optional (T',) int array — the linspace frame pick is
     fused in front so dropped frames are never normalized."""
+    if np.size(mean) != 3 or np.size(std) != 3 or x_u8.shape[-1] != 3:
+        raise ValueError(
+            "u8_normalize's Pallas tiling is specialized to 3 channels "
+            f"(got stats of size {np.size(mean)}/{np.size(std)}, input "
+            f"trailing dim {x_u8.shape[-1]})")
     scale_np, bias_np = _affine_from_stats(mean, std)
     if frame_indices is not None:
         x_u8 = jnp.take(x_u8, jnp.asarray(frame_indices), axis=1)
