@@ -147,15 +147,26 @@ class MapLoader:
     def __len__(self):
         return -(-len(self.dataset) // self.batch_size)
 
-    def _fetch(self, i):
+    def _fetch(self, i, seed=None):
+        if seed is not None:
+            return self.dataset.getitem_seeded(int(i), int(seed))
         return self.dataset[int(i)]
 
     def __iter__(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        # per-sample transform seeds, drawn on this (single) thread in a
+        # fixed order: random augmentations become reproducible no matter
+        # how the worker threads are scheduled. Only for datasets that
+        # speak the protocol — others keep their own RNG semantics.
+        if hasattr(self.dataset, "getitem_seeded"):
+            seeds = self._rng.randint(0, 2**31 - 1, size=len(idx))
+        else:
+            seeds = [None] * len(idx)
         bs = self.batch_size
-        batches = [idx[s:s + bs] for s in range(0, len(idx), bs)]
+        batches = [list(zip(idx[s:s + bs], seeds[s:s + bs]))
+                   for s in range(0, len(idx), bs)]
 
         def collate(samples):
             n = len(samples)
@@ -169,7 +180,7 @@ class MapLoader:
 
         if self.deterministic:
             for take in batches:
-                yield collate([self._fetch(i) for i in take])
+                yield collate([self._fetch(i, sd) for i, sd in take])
             return
 
         # Per-SAMPLE fan-out over a thread pool (torch's num_workers
@@ -189,15 +200,15 @@ class MapLoader:
                     window: collections.deque = collections.deque()
                     nxt = 0
                     while nxt < len(batches) and len(window) <= self.prefetch:
-                        window.append([ex.submit(self._fetch, i)
-                                       for i in batches[nxt]])
+                        window.append([ex.submit(self._fetch, i, sd)
+                                       for i, sd in batches[nxt]])
                         nxt += 1
                     while window:
                         futs = window.popleft()
                         samples = [f.result() for f in futs]
                         if nxt < len(batches):
-                            window.append([ex.submit(self._fetch, i)
-                                           for i in batches[nxt]])
+                            window.append([ex.submit(self._fetch, i, sd)
+                                           for i, sd in batches[nxt]])
                             nxt += 1
                         if stop.is_set():
                             return

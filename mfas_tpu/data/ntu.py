@@ -168,23 +168,29 @@ class AugCrop:
     keeps a random window of >=64 frames (:146-169). Carries its own RNG so
     data augmentation never perturbs the search sampler's global RNG."""
 
+    accepts_rng = True   # per-sample RNG protocol (Compose/getitem_seeded)
+
     def __init__(self, p_interval=0.5, seed=0):
         self.p_interval = p_interval
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, sample):
+    def __call__(self, sample, rng=None):
+        # rng: per-sample RandomState (deterministic under loader thread
+        # fan-out); the shared self.rng fallback is schedule-dependent
+        # when multiple workers call it concurrently
+        r = rng if rng is not None else self.rng
         rgb, skel = sample["rgb"], sample["ske"]
-        ratio = 1.0 - self.p_interval * self.rng.rand()
+        ratio = 1.0 - self.p_interval * r.rand()
         if rgb.shape[0] != 1:
             num = len(rgb)
             begin = (num - int(num * ratio)) // 2
             rgb = rgb[begin:num - begin]
         if skel.shape[0] != 1:
             valid = skel.shape[1]
-            p = float(self.rng.rand(1)[0]) * (1.0 - self.p_interval) + self.p_interval
+            p = float(r.rand(1)[0]) * (1.0 - self.p_interval) + self.p_interval
             cropped = int(np.minimum(np.maximum(int(np.floor(valid * p)), 64),
                                      valid))
-            bias = self.rng.randint(0, valid - cropped + 1)
+            bias = r.randint(0, valid - cropped + 1)
             skel = skel[:, bias:bias + cropped]
         return {"rgb": rgb, "ske": skel, "label": sample["label"]}
 
@@ -193,9 +199,12 @@ class Compose:
     def __init__(self, transforms):
         self.transforms = transforms
 
-    def __call__(self, sample):
+    def __call__(self, sample, rng=None):
         for t in self.transforms:
-            sample = t(sample)
+            if rng is not None and getattr(t, "accepts_rng", False):
+                sample = t(sample, rng=rng)
+            else:
+                sample = t(sample)
         return sample
 
 
@@ -264,6 +273,15 @@ class NTU:
         return len(self.labels)
 
     def __getitem__(self, idx):
+        return self._get(idx)
+
+    def getitem_seeded(self, idx, seed):
+        """Per-sample-seeded fetch (MapLoader protocol): random transforms
+        draw from a private RandomState(seed), so parallel workers are
+        reproducible regardless of thread scheduling."""
+        return self._get(idx, rng=np.random.RandomState(seed))
+
+    def _get(self, idx, rng=None):
         modality = getattr(self.args, "modality", "both") if self.args else "both"
         no_norm = getattr(self.args, "no_norm", False) if self.args else False
 
@@ -277,7 +295,13 @@ class NTU:
         video, skeleton = normalize_modalities(video, skeleton, modality, no_norm)
         sample = {"rgb": video, "ske": skeleton, "label": self.labels[idx] - 1}
         if self.transform:
-            sample = self.transform(sample)
+            if rng is not None and getattr(self.transform, "accepts_rng",
+                                           False):
+                sample = self.transform(sample, rng=rng)
+            elif rng is not None and isinstance(self.transform, Compose):
+                sample = self.transform(sample, rng=rng)
+            else:
+                sample = self.transform(sample)
         sample["label"] = np.int32(sample["label"])
         sample["rgb"] = np.asarray(sample["rgb"], np.float32)
         sample["ske"] = np.asarray(sample["ske"], np.float32)

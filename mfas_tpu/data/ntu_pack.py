@@ -111,6 +111,13 @@ class PackedNTU:
         return len(self.labels)
 
     def __getitem__(self, idx):
+        return self._get(idx)
+
+    def getitem_seeded(self, idx, seed):
+        """Per-sample-seeded fetch (MapLoader protocol; see ntu.NTU)."""
+        return self._get(idx, rng=np.random.RandomState(seed))
+
+    def _get(self, idx, rng=None):
         modality = getattr(self.args, "modality", "both") if self.args else "both"
         no_norm = getattr(self.args, "no_norm", False) if self.args else False
 
@@ -133,7 +140,11 @@ class PackedNTU:
         sample = {"rgb": video, "ske": skeleton,
                   "label": int(self.labels[idx])}
         if self.transform:
-            sample = self.transform(sample)
+            if rng is not None and isinstance(self.transform,
+                                              ntu_data.Compose):
+                sample = self.transform(sample, rng=rng)
+            else:
+                sample = self.transform(sample)
         sample["label"] = np.int32(sample["label"])
         rgb_dtype = np.uint8 if self.device_normalize else np.float32
         sample["rgb"] = np.asarray(sample["rgb"], rgb_dtype)

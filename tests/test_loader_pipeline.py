@@ -139,3 +139,49 @@ def test_dev_cache_used_and_invalidated_end_to_end():
     loader2 = ArrayLoader(data, 8)
     list(trainer._dev_batches(loader2, ("image", "audio"), "label", rng))
     assert calls["n"] == 2 * first  # new object -> recomputed
+
+
+def test_parallel_loader_reproducible_with_random_transforms(tmp_path):
+    """Random augmentations under multi-worker fan-out: two same-seed
+    loaders yield identical batches (per-sample transform seeds drawn on
+    the producer thread — thread scheduling cannot perturb the draws)."""
+    import numpy as np
+
+    from mfas_tpu.data.loader import MapLoader
+    from mfas_tpu.data.ntu import AugCrop, Compose, NormalizeLen
+
+    class SyntheticSkel:
+        """NTU-shaped dataset with a random temporal crop."""
+
+        def __init__(self, n=12):
+            rs = np.random.RandomState(0)
+            self.data = rs.randn(n, 3, 100, 25, 2).astype(np.float32)
+            self.tfm = Compose([AugCrop(seed=0),
+                                NormalizeLen((1, 32))])
+
+        def __len__(self):
+            return len(self.data)
+
+        def __getitem__(self, i):
+            return self._get(i)
+
+        def getitem_seeded(self, i, seed):
+            return self._get(i, np.random.RandomState(seed))
+
+        def _get(self, i, rng=None):
+            sample = {"rgb": np.zeros([1], np.float32),
+                      "ske": self.data[i], "label": np.int32(i % 3)}
+            return self.tfm(sample, rng=rng) if rng is not None \
+                else self.tfm(sample)
+
+    def run():
+        loader = MapLoader(SyntheticSkel(), 4, shuffle=True, seed=7,
+                           num_workers=4)
+        return [{k: np.asarray(v) for k, v in b.items()}
+                for _ in range(2) for b in loader]     # two epochs
+
+    a, b = run(), run()
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
