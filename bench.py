@@ -21,11 +21,18 @@ sequential candidate loop, at the NTU vertical's shapes. Two views:
 2. **End-to-end search wall-clock** (detail.search_wallclock_*): a real
    tiny EPNAS search (NTUSearcher, synthetic packed store, MapLoader
    workers, device-side normalize, surrogate training, sampling — the
-   whole host loop) timed in population mode; the sequential wall-clock is
-   N_candidates x a measured WARM per-candidate training wall-clock
-   (XLA compile excluded: the reference pays no per-candidate compile, and
-   through this remote-compile tunnel per-candidate compile would dominate
-   and unfairly inflate the speedup).
+   whole host loop) timed in population mode; the sequential side is BOTH
+   (a) measured: one full ``--sequential_candidates`` EPNAS run of the
+   same config (seq_measured), and (b) extrapolated: N_candidates x a
+   measured WARM per-candidate training wall-clock with per-candidate
+   jit-retrace/compile-cache costs excluded (seq_extrap — conservative:
+   the reference pays no per-candidate compile). Headline speedups use
+   the conservative extrapolated basis; *_measured fields carry the real
+   run.
+
+Output contract: prints ONE compact JSON line (driver-parseable within a
+bounded tail window); the full detail dict is written to
+``bench_detail.json`` next to this file.
 
 Timing methodology: the remote-tunneled backend defers execution past
 block_until_ready, so compiled-region measurements are a ``lax.scan`` of N
@@ -381,6 +388,15 @@ def bench_search_wallclock(detail, tmp_root):
         searcher.search()
         return time.perf_counter() - t0, searcher
 
+    def min2(runs_key, *thunks):
+        """min-of-N damping 1-core host noise; the individual run times are
+        recorded so round-over-round variance is self-describing."""
+        times = [t() for t in thunks]
+        spreads[runs_key] = [round(t, 2) for t in times]
+        return min(times)
+
+    spreads = {}
+
     # run 1 pays the XLA compiles; later FRESH-searcher runs are the WARM
     # wall-clock including the per-process jit retrace + persistent-cache
     # retrieval; RESIDENT runs re-enter search() on the same searcher, the
@@ -388,9 +404,10 @@ def bench_search_wallclock(detail, tmp_root):
     # resident engine — the reference pays no per-candidate compile or
     # retrace either). min-of-2 damps 1-core host-scheduling noise.
     wall_pop_cold, pop_searcher = run_search()
-    wall_pop = min(run_search()[0], run_search()[0])
-    wall_pop_res = min(run_search(searcher=pop_searcher)[0],
-                       run_search(searcher=pop_searcher)[0])
+    wall_pop = min2("pop", lambda: run_search()[0], lambda: run_search()[0])
+    wall_pop_res = min2("pop_resident",
+                        lambda: run_search(searcher=pop_searcher)[0],
+                        lambda: run_search(searcher=pop_searcher)[0])
     args = pop_searcher.args
     n_trained = 32 + args.num_samples  # level 0 trains all 32 unfoldings,
     # level 1 trains the K sampled (reference searchable.py:48-137)
@@ -398,11 +415,25 @@ def bench_search_wallclock(detail, tmp_root):
     # opt-in HBM-resident feature bank (--cache_features): backbones run
     # once per sample total, all later epochs/populations gather from HBM
     _, cached_searcher = run_search(cache_features=True)
-    wall_pop_cached = min(run_search(cache_features=True)[0],
-                          run_search(cache_features=True)[0])
-    wall_pop_cached_res = min(
-        run_search(searcher=cached_searcher)[0],
-        run_search(searcher=cached_searcher)[0])
+    wall_pop_cached = min2("pop_cached",
+                          lambda: run_search(cache_features=True)[0],
+                          lambda: run_search(cache_features=True)[0])
+    wall_pop_cached_res = min2(
+        "pop_cached_resident",
+        lambda: run_search(searcher=cached_searcher)[0],
+        lambda: run_search(searcher=cached_searcher)[0])
+
+    # MEASURED sequential wall-clock: one full --sequential_candidates
+    # EPNAS run of the SAME config — the reference's candidate loop run
+    # for real (matches /root/reference/main_searchable_ntu.py:79-82's
+    # printed measured search time). Includes per-candidate model build +
+    # jit retrace + persistent-compile-cache retrieval, costs the
+    # extrapolated basis below deliberately excludes; first-ever execution
+    # additionally pays one-time XLA compiles for each distinct fusion
+    # shape (served from the persistent cache on every later run).
+    wall_seq_measured = None
+    if os.environ.get("MFAS_BENCH_SEQ_MEASURED", "1") != "0":
+        wall_seq_measured = run_search(sequential_candidates=True)[0]
 
     # sequential per-candidate wall-clock: same engine/shape as the
     # reference's candidate loop; 2nd run of the SAME engine measures the
@@ -436,7 +467,7 @@ def bench_search_wallclock(detail, tmp_root):
         return time.perf_counter() - t0
 
     one_candidate()                      # cold (compiles train+eval)
-    t_cand = min(one_candidate(), one_candidate())   # warm
+    t_cand = min2("seq_percand", one_candidate, one_candidate)   # warm
     wall_seq = n_trained * t_cand
 
     detail.update({
@@ -452,6 +483,7 @@ def bench_search_wallclock(detail, tmp_root):
         "search_wallclock_seq_s": round(wall_seq, 2),
         "search_wallclock_seq_percand_s": round(t_cand, 3),
         "search_wallclock_candidates": n_trained,
+        "search_wallclock_run_spreads_s": spreads,
         "search_wallclock_config": {
             "img": img, "batch": batch, "n_train": n_train, "n_dev": n_dev,
             "search_iterations": 1, "max_fusions": 2, "num_samples": 4,
@@ -463,16 +495,60 @@ def bench_search_wallclock(detail, tmp_root):
             "reported as pop_cold); seq = candidates x measured WARM "
             "per-candidate training wall-clock (per-candidate XLA compile "
             "and model-build excluded, matching basis: the reference pays "
-            "no per-candidate compile). resident_* = re-entering search() "
-            "on the SAME searcher object: jit caches live, and for the "
-            "cached variant the feature bank persists — the steady-state "
-            "per-search-level cost of a long-running process (a real "
-            "197-candidate search builds the bank once and amortizes it "
-            "over 11 levels). Conservative in the pop's favor on "
-            "one axis only: all candidates are charged the measured 2-row "
-            "head cost though the 32 level-0 entries train 1-row heads — "
-            "immaterial at 256px where the backbone forward dominates"),
+            "no per-candidate compile). seq_measured = ONE real "
+            "--sequential_candidates EPNAS run of the same config, "
+            "including the per-candidate model-build/retrace costs the "
+            "extrapolation excludes (headline speedups stay on the "
+            "conservative extrapolated basis; *_measured_speedup uses the "
+            "real run). resident_* = re-entering search() on the SAME "
+            "searcher object: jit caches live, and for the cached variant "
+            "the feature bank persists — the steady-state per-search-level "
+            "cost of a long-running process (a real 197-candidate search "
+            "builds the bank once and amortizes it over 11 levels). "
+            "Conservative in the pop's favor on one axis only: all "
+            "candidates are charged the measured 2-row head cost though "
+            "the 32 level-0 entries train 1-row heads — immaterial at "
+            "256px where the backbone forward dominates"),
     })
+    if wall_seq_measured is not None:
+        detail.update({
+            "search_wallclock_seq_measured_s": round(wall_seq_measured, 2),
+            "search_wallclock_measured_speedup": round(
+                wall_seq_measured / wall_pop, 2),
+            "search_wallclock_cached_measured_speedup": round(
+                wall_seq_measured / wall_pop_cached, 2),
+        })
+
+    # amortization trend: one LARGER config (2 search iterations x 3
+    # fusion levels, K=8 -> 32 + 5*8 = 72 candidates) so per-level fixed
+    # costs (surrogate fit, sampling, bank build) are shown to amortize
+    # rather than asserted. Sequential basis = extrapolation from the
+    # same measured warm per-candidate cost.
+    if on_tpu and os.environ.get("MFAS_BENCH_TREND", "1") != "0":
+        # NOTE: the CLI's --max_fusions parses into args.max_progression_levels
+        big = dict(search_iterations=2, max_progression_levels=3,
+                   num_samples=8)
+        run_search(**big)                            # compiles (3-row head)
+        big_pop = min2("trend_pop", lambda: run_search(**big)[0],
+                       lambda: run_search(**big)[0])
+        run_search(cache_features=True, **big)
+        big_pop_cached = min2(
+            "trend_pop_cached",
+            lambda: run_search(cache_features=True, **big)[0],
+            lambda: run_search(cache_features=True, **big)[0])
+        n_big = 32 + (big["search_iterations"]
+                      * big["max_progression_levels"] - 1) \
+            * big["num_samples"]
+        detail.update({
+            "search_trend_config": big,
+            "search_trend_candidates": n_big,
+            "search_trend_pop_s": round(big_pop, 2),
+            "search_trend_pop_cached_s": round(big_pop_cached, 2),
+            "search_trend_seq_s": round(n_big * t_cand, 2),
+            "search_trend_speedup": round(n_big * t_cand / big_pop, 2),
+            "search_trend_cached_speedup": round(
+                n_big * t_cand / big_pop_cached, 2),
+        })
 
 
 # ---------------------------------------------------------------------------
@@ -535,8 +611,48 @@ def bench_e2e_input(detail, tmp_root):
     t2, _ = epoch()
     t = min(t, t2)
     detail["e2e_train_clips_per_s"] = round(nb * B / t, 2)
+    detail["e2e_epoch_runs_s"] = [round(t, 2), round(t2, 2)]
     detail["e2e_config"] = {"batch": B, "img": IMG, "n_samples": n,
                             "num_workers": 4, "device_normalize": True}
+
+    # breakdown: where does the e2e epoch go? (a) host produce+collate
+    # only (no device), (b) compiled step only on one resident batch —
+    # together with the raw H2D transfer below these explain any gap to
+    # the link-bound ceiling.
+    def host_only_epoch():
+        t0 = time.perf_counter()
+        nb2 = 0
+        for batch in loader:
+            nb2 += 1
+        return (time.perf_counter() - t0) / nb2
+
+    host_only_epoch()
+    t_host = min(host_only_epoch(), host_only_epoch())
+
+    resident = self_batch = None
+    for batch in loader:
+        self_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        break
+    resident = self_batch
+
+    def step_only():
+        nonlocal trainable, frozen, opt
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(4):
+            trainable, frozen, opt, loss, corr = engine._train_step(
+                trainable, frozen, opt, resident, jnp.float32(1e-3),
+                rng.next())
+            last = loss
+        float(np.asarray(last))
+        return (time.perf_counter() - t0) / 4
+
+    step_only()
+    t_step = min(step_only(), step_only())
+    detail["e2e_breakdown_per_batch_s"] = {
+        "host_produce_collate": round(t_host, 4),
+        "device_step_resident": round(t_step, 4),
+        "epoch_total": round(t / nb, 4)}
 
     # raw host->device bandwidth at the same transfer size, so the e2e
     # number is self-explaining when the link (e.g. a remote-tunneled
@@ -618,12 +734,38 @@ def main():
         except Exception as e:  # noqa: BLE001
             detail["bench_host_input_error"] = repr(e)
 
+    # full record -> sidecar file; printed line stays compact so the
+    # driver's bounded tail-capture window always parses it (the round-2
+    # record had parsed:null because the prose notes outgrew the window)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump({"metric": "mfas_search_speedup_vs_sequential_candidates",
+                   "value": round(speedup, 3), "unit": "x",
+                   "vs_baseline": round(speedup, 3),
+                   "detail": detail}, f, indent=1)
+
+    compact_keys = (
+        "device_kind",
+        "search_wallclock_speedup", "search_wallclock_cached_speedup",
+        "search_wallclock_resident_speedup",
+        "search_wallclock_cached_resident_speedup",
+        "search_wallclock_measured_speedup",
+        "search_wallclock_cached_measured_speedup",
+        "search_wallclock_seq_measured_s", "search_wallclock_seq_s",
+        "search_wallclock_pop_s", "search_wallclock_pop_cached_s",
+        "search_trend_speedup", "search_trend_cached_speedup",
+        "search_trend_candidates",
+        "found_train_clips_per_s", "found_train_bf16_clips_per_s",
+        "found_infer_clips_per_s", "mfu_estimate_bf16",
+        "e2e_train_clips_per_s", "h2d_gbps",
+    )
     print(json.dumps({
         "metric": "mfas_search_speedup_vs_sequential_candidates",
         "value": round(speedup, 3),
         "unit": "x",
         "vs_baseline": round(speedup, 3),
-        "detail": detail,
+        "detail_file": "bench_detail.json",
+        "detail": {k: detail[k] for k in compact_keys if k in detail},
     }))
 
 

@@ -70,6 +70,18 @@ def set_pool_as_slices(enabled: bool):
     POOL_AS_SLICES = bool(enabled)
 
 
+# max_pool2d as two 1-D reduce_windows (rows then columns — exact for max:
+# max over the k x k window == col-max of row-maxes). 3+3 comparisons per
+# output instead of 9, and the backward is two narrow select_and_scatters
+# instead of one 9-wide one. Flag-gated for A/B measurement.
+POOL_SEPARABLE = _os.environ.get("MFAS_POOL_SEPARABLE") == "1"
+
+
+def set_pool_separable(enabled: bool):
+    global POOL_SEPARABLE
+    POOL_SEPARABLE = bool(enabled)
+
+
 def _conv3d_via_2d(x, w, b, stride, padding, dilation, groups):
     """x: (N,C,D,H,W), w: (O,I/g,kd,kh,kw); requires stride_d==1,
     dilation_d==1, padding_d==kd//2 (the inflated-ResNet cases)."""
@@ -232,10 +244,20 @@ def max_pool2d(x, kernel_size, stride=None, padding=0):
                       dj:dj + (Wo - 1) * s[1] + 1:s[1]]
                 out = v if out is None else jnp.maximum(out, v)
         return out
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    if POOL_SEPARABLE and k[0] > 1 and k[1] > 1:
+        # exact: padding fills with the max-identity on both passes
+        rows = lax.reduce_window(
+            x, neg, lax.max,
+            window_dimensions=(1, 1, 1, k[1]), window_strides=(1, 1, 1, s[1]),
+            padding=((0, 0), (0, 0), (0, 0), (p[1], p[1])))
+        return lax.reduce_window(
+            rows, neg, lax.max,
+            window_dimensions=(1, 1, k[0], 1), window_strides=(1, 1, s[0], 1),
+            padding=((0, 0), (0, 0), (p[0], p[0]), (0, 0)))
     return lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        lax.max,
+        x, neg, lax.max,
         window_dimensions=(1, 1) + k,
         window_strides=(1, 1) + s,
         padding=((0, 0), (0, 0)) + tuple((pp, pp) for pp in p),

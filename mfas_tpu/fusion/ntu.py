@@ -27,8 +27,12 @@ from mfas_tpu.models.ntu import Skeleton, Visual
 
 
 def tap_sizes(args):
+    """Reference :288-296 — rgb sizes [512,1024,2048,2048] are the
+    ResNet-50 stage widths (base_width 64 x [8,16,32,32]); they scale with
+    the optional resnet3d_base_width shrink knob (models/ntu.py Visual)."""
+    w = int(getattr(args, "resnet3d_base_width", 64))
     sizes_ske = [128, 256, args.vid_len[1] * 32, 512]
-    sizes_ims = [512, 1024, 2048, 2048]
+    sizes_ims = [w * 8, w * 16, w * 32, w * 32]
     return sizes_ske, sizes_ims
 
 

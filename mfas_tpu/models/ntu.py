@@ -41,9 +41,17 @@ class Visual(Module):
 
     def __init__(self, args):
         super().__init__()
-        self.cnn = inflated_resnet50()
+        # optional shrink knobs (defaults = the reference's ResNet-50);
+        # used by the multichip dryrun/tests to run the REAL extractor
+        # architecture at a virtual-CPU-mesh-sized footprint
+        layers = tuple(getattr(args, "resnet3d_layers", (3, 4, 6, 3)))
+        width = int(getattr(args, "resnet3d_base_width", 64))
+        from mfas_tpu.models.resnet3d import ResNet3D
+        self.cnn = (inflated_resnet50()
+                    if (layers, width) == ((3, 4, 6, 3), 64)
+                    else ResNet3D(layers, base_width=width))
         self.vid_len = args.vid_len[0]
-        self.D = 2048
+        self.D = width * 32
         self.classifier = L.Linear(self.D, args.num_outputs)
 
     def apply(self, tree, ctx, x):

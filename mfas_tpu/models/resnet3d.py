@@ -60,15 +60,21 @@ class Bottleneck3D(Module):
 
 class ResNet3D(Module):
     """Inflated ResNet with a 2D stem. ``get_feature_maps`` equivalent is
-    ``apply(..., taps=True)``."""
+    ``apply(..., taps=True)``.
 
-    def __init__(self, layers=(3, 4, 6, 3)):
+    ``layers``/``base_width`` parameterize depth and width; the defaults
+    are the reference's ResNet-50 ([3,4,6,3], 64). Shrunken variants (e.g.
+    (1,1,1,1) @ base_width 16) keep the exact architecture — framewise 2D
+    stem, Bottleneck3D stages, (1,s,s) strides — at a footprint that fits
+    the virtual-CPU-mesh dryrun (SURVEY §4.5)."""
+
+    def __init__(self, layers=(3, 4, 6, 3), base_width=64):
         super().__init__()
-        self.inplanes = 64
-        self.conv1 = Conv2d(3, 64, kernel_size=7, stride=2, padding=3, bias=False,
-                            weight_init=I.resnet_conv_weight)
-        self.bn1 = BatchNorm2d(64)
-        channels = [64, 128, 256, 512]
+        self.inplanes = base_width
+        self.conv1 = Conv2d(3, base_width, kernel_size=7, stride=2, padding=3,
+                            bias=False, weight_init=I.resnet_conv_weight)
+        self.bn1 = BatchNorm2d(base_width)
+        channels = [base_width, base_width * 2, base_width * 4, base_width * 8]
         self.layer1 = self._make_layer(channels[0], layers[0])
         self.layer2 = self._make_layer(channels[1], layers[1], stride=2)
         self.layer3 = self._make_layer(channels[2], layers[2], stride=2)
@@ -98,8 +104,12 @@ class ResNet3D(Module):
         # frame-wise 2D stem: (B,C,T,W,H) -> (B*T,C,W,H)
         frames = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B * T, C, W, H)
         out = self.conv1(s(tree, "conv1"), ctx, frames)
-        out = jax.nn.relu(self.bn1(s(tree, "bn1"), ctx, out))
-        out = F.max_pool2d(out, 3, stride=2, padding=1)
+        out = self.bn1(s(tree, "bn1"), ctx, out)
+        # reference order is relu -> maxpool (resnet.py:44-48); pooling
+        # FIRST is bitwise-identical (relu is monotone, so
+        # relu(max(x)) == max(relu(x))) and runs the elementwise relu on
+        # 1/4 of the activations, after the pool's data reduction
+        out = jax.nn.relu(F.max_pool2d(out, 3, stride=2, padding=1))
 
         # back to 5D for the 3D stages
         _, c, w, h = out.shape

@@ -16,10 +16,20 @@ import os
 def enable_persistent_compilation_cache(path: str | None = None,
                                         min_compile_secs: float = 0.5):
     """Idempotent; safe to call before or after backend init (must precede
-    the first compile to benefit it). Returns the cache dir or None."""
+    the first compile to benefit it). Returns the cache dir or None.
+
+    Also re-asserts JAX_PLATFORMS from the environment: TPU deployment
+    shims (e.g. an axon sitecustomize) may force jax_platforms
+    programmatically, which silently beats the env var — so a user's
+    ``JAX_PLATFORMS=cpu python main_*.py`` would land on the TPU. Every
+    entry point calls this, restoring the documented env semantics."""
+    import jax
+
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
     if os.environ.get("MFAS_COMPILE_CACHE", "1") == "0":
         return None
-    import jax
 
     path = (path
             or os.environ.get("MFAS_COMPILE_CACHE_DIR")

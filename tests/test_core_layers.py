@@ -95,6 +95,45 @@ def test_maxpool_avgpool_match_torch():
         rtol=1e-5, atol=1e-6)
 
 
+def test_max_pool_separable_matches_default_and_torch():
+    """MFAS_POOL_SEPARABLE (two 1-D reduce_windows) is exact vs both the
+    combined reduce_window and torch, in value AND gradient (the stem
+    pool's backward is the train-step-relevant path)."""
+    import jax
+
+    x = np.random.RandomState(7).randn(2, 3, 17, 19).astype(np.float32)
+
+    def pooled_sum(xa):
+        return jnp.sum(F.max_pool2d(xa, 3, stride=2, padding=1) ** 2)
+
+    want = F.max_pool2d(jnp.asarray(x), 3, stride=2, padding=1)
+    gwant = jax.grad(pooled_sum)(jnp.asarray(x))
+    F.set_pool_separable(True)
+    try:
+        got = F.max_pool2d(jnp.asarray(x), 3, stride=2, padding=1)
+        ggot = jax.grad(pooled_sum)(jnp.asarray(x))
+    finally:
+        F.set_pool_separable(False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gwant),
+                               rtol=1e-6, atol=1e-7)
+    tx = torch.from_numpy(x)
+    np.testing.assert_array_equal(
+        np.asarray(want),
+        t2n(torch.nn.functional.max_pool2d(tx, 3, stride=2, padding=1)))
+
+
+def test_stem_pool_relu_reorder_is_exact():
+    """relu(max_pool(x)) == max_pool(relu(x)) bitwise (relu is monotone) —
+    the resnet3d stem relies on this identity to pool before the relu."""
+    import jax
+
+    x = np.random.RandomState(8).randn(2, 4, 16, 16).astype(np.float32)
+    a = jax.nn.relu(F.max_pool2d(jnp.asarray(x), 3, stride=2, padding=1))
+    b = F.max_pool2d(jax.nn.relu(jnp.asarray(x)), 3, stride=2, padding=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_avg_pool_count_include_pad_false_matches_torch():
     # used by AuxiliaryHead (aux_models.py:506)
     x = np.random.RandomState(20).randn(1, 2, 9, 9).astype(np.float32)

@@ -1,6 +1,8 @@
 """Population trainer under a (pop, data) mesh on the virtual 8-device CPU
 mesh: same results as the unsharded run (SURVEY.md §4.5)."""
 
+import types
+
 import numpy as np
 import pytest
 
@@ -9,7 +11,7 @@ from jax.sharding import Mesh
 
 from mfas_tpu.core.sched import FixedScheduler
 from mfas_tpu.data.loader import ArrayLoader
-from mfas_tpu.search.population import PopulationTrainer
+from mfas_tpu.search.population import PopulationSpec, PopulationTrainer
 from tests.test_avmnist_vertical import make_args, synthetic_avmnist
 from tests.test_population_trainer import build
 
@@ -74,3 +76,61 @@ def test_fused_bank_training_matches_on_mesh():
     for k in params_single:
         np.testing.assert_allclose(params_mesh[k], params_single[k],
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_real_ntu_extractor_population_training_matches_on_mesh():
+    """The REAL NTU extractor — inflated ResNet3D (exact architecture,
+    shrunken to 1 block/stage @ base_width 16 via the resnet3d_* knobs) +
+    the full HCN skeleton net — batch-sharded over ``data`` and feeding
+    the population step over ``pop``: numerically equal to the unsharded
+    run. This is the flagship backbone under a mesh (VERDICT r2 item 5;
+    reference's only multi-device path, main_found_ntu.py:113-114), not an
+    AVMNIST stand-in."""
+    from mfas_tpu.fusion import ntu as f_ntu
+
+    args = types.SimpleNamespace(
+        num_outputs=6, num_classes=6, vid_len=(2, 32), drpt=0.0,
+        inner_representation_size=16, multitask=False, alphas=False,
+        batchnorm=False, resnet3d_layers=(1, 1, 1, 1),
+        resnet3d_base_width=16)
+    extractor = f_ntu.NTUFeatureExtractor(args)
+    btree = extractor.init(0)
+    sizes_ske, sizes_ims = f_ntu.tap_sizes(args)
+    spec = PopulationSpec(
+        sizes_a=tuple(sizes_ske), sizes_b=tuple(sizes_ims),
+        hidden=args.inner_representation_size, num_outputs=args.num_outputs,
+        max_rows=4, batchnorm=False, drpt=0.0, use_alphas=False,
+        multitask=False)
+
+    rs = np.random.RandomState(0)
+    n = 16
+    data = {
+        "rgb": rs.randn(n, args.vid_len[0], 32, 32, 3).astype(np.float32),
+        "ske": rs.randn(n, 3, args.vid_len[1], 25, 2).astype(np.float32),
+        "label": rs.randint(0, args.num_outputs, n).astype(np.int32),
+    }
+    confs = [np.array([[3, 1, 1]]), np.array([[1, 3, 0], [2, 2, 1]]),
+             np.array([[0, 0, 0]]), np.array([[3, 3, 0]])]
+
+    def run(mesh):
+        loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+                   "dev": ArrayLoader(data, 8)}
+        sizes = {k: v.dataset_size for k, v in loaders.items()}
+        trainer = PopulationTrainer(spec, extractor.apply, btree, mesh=mesh)
+        accs, params, _ = trainer.train_population(
+            confs, loaders, sizes, FixedScheduler(1e-3), num_epochs=1,
+            input_keys=("rgb", "ske"), seed=0)
+        return accs, jax.tree_util.tree_map(np.asarray, params)
+
+    accs_single, params_single = run(None)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("pop", "data"))
+    accs_mesh, params_mesh = run(mesh)
+
+    # dev accuracies are correct-counts: must agree exactly; params carry
+    # conv/BN reduction-order noise through the extractor
+    assert accs_mesh == accs_single
+    for k in params_single:
+        np.testing.assert_allclose(params_mesh[k], params_single[k],
+                                   rtol=1e-3, atol=1e-4)

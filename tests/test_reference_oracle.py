@@ -36,18 +36,10 @@ REF = "/root/reference"
 def ref():
     if REF not in sys.path:
         sys.path.append(REF)
-    # stub the reference's broken import target (only used for isinstance)
-    if "models.aux" not in sys.modules:
-        aux_pkg = types.ModuleType("models.aux")
-        sched = types.ModuleType("models.aux.scheduler")
-
-        class _Stub:  # never instantiated
-            pass
-
-        sched.LRCosineAnnealingScheduler = _Stub
-        aux_pkg.scheduler = sched
-        sys.modules["models.aux"] = aux_pkg
-        sys.modules["models.aux.scheduler"] = sched
+    # stub the reference's broken import target (only used for isinstance;
+    # shared installer so all reference-importing fixtures agree)
+    from tests.ref_stubs import install_aux_scheduler_stub
+    install_aux_scheduler_stub()
 
     import models.auxiliary.inflated_resnet as ref_inflated
     # zero egress: skip the torchvision model-zoo download, keep random init

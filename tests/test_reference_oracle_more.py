@@ -37,48 +37,14 @@ REF = "/root/reference"
 def ref():
     if REF not in sys.path:
         sys.path.append(REF)
-    # stub the reference's broken import targets (SURVEY.md §2 bug list):
-    # models.search.train_searchable.cifar imports models.aux.scheduler
-    if "models.aux" not in sys.modules:
-        aux_pkg = types.ModuleType("models.aux")
-        sched = types.ModuleType("models.aux.scheduler")
-
-        class _Stub:
-            pass
-
-        sched.LRCosineAnnealingScheduler = _Stub
-        aux_pkg.scheduler = sched
-        sys.modules["models.aux"] = aux_pkg
-        sys.modules["models.aux.scheduler"] = sched
-
-    # torchvision is not installed in this env, and the reference GP_VGG
-    # wants tmodels.vgg19(pretrained='imagenet') (mm_imdb.py:24) — a
-    # download. Stub torchvision.models with a hand-built VGG19 features
-    # stack (configuration E) whose nn.Sequential indices match
-    # torchvision's exactly; random weights are fine since they are
-    # exported and shared with the rebuild.
-    if "torchvision" not in sys.modules:
-        import torch.nn as nn
-
-        def _vgg19(*a, **k):
-            cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
-                   512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
-            layers, c = [], 3
-            for v in cfg:
-                if v == "M":
-                    layers.append(nn.MaxPool2d(2, 2))
-                else:
-                    layers.append(nn.Conv2d(c, v, 3, padding=1))
-                    layers.append(nn.ReLU(inplace=True))
-                    c = v
-            return types.SimpleNamespace(features=nn.Sequential(*layers))
-
-        tv = types.ModuleType("torchvision")
-        tv_models = types.ModuleType("torchvision.models")
-        tv_models.vgg19 = _vgg19
-        tv.models = tv_models
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = tv_models
+    # shared stubs for the reference's broken models.aux.scheduler import
+    # and the uninstalled torchvision (incl. the hand-built VGG19 —
+    # see tests/ref_stubs.py; a private "not in sys.modules" guard here
+    # would race with other reference-importing fixtures on test order)
+    from tests.ref_stubs import (install_aux_scheduler_stub,
+                                 install_torchvision_stub)
+    install_torchvision_stub()
+    install_aux_scheduler_stub()
 
     import models.auxiliary.inflated_resnet as ref_inflated
     # zero egress: skip the torchvision model-zoo download, keep random init

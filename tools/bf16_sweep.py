@@ -42,7 +42,8 @@ def _timeit(fn, warmup=1, iters=3):
     return float(np.median(times))
 
 
-def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False):
+def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False,
+               pool_separable=False):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -55,6 +56,7 @@ def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False):
 
     F.set_conv_channels_last(channels_last)
     F.set_conv3d_as_2d(conv3d_as_2d)
+    F.set_pool_separable(pool_separable)
     try:
         args = types.SimpleNamespace(
             num_outputs=60, vid_len=(8, 32), drpt=0.4,
@@ -96,28 +98,33 @@ def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False):
     finally:
         F.set_conv_channels_last(False)
         F.set_conv3d_as_2d(False)
+        F.set_pool_separable(False)
 
 
 def main():
     _enable_cache()
     variants = [
-        ("f32_B16", 16, None, False, False),
-        ("bf16_B16", 16, "bfloat16", False, False),
-        ("bf16_B16_chlast", 16, "bfloat16", True, False),
-        ("bf16_B32", 32, "bfloat16", False, False),
-        ("bf16_B32_chlast", 32, "bfloat16", True, False),
-        ("bf16_B16_3das2d", 16, "bfloat16", False, True),
-        ("f32_B16_3das2d", 16, None, False, True),
-        ("bf16_B16_3das2d_chlast", 16, "bfloat16", True, True),
+        ("f32_B16", 16, None, False, False, False),
+        ("bf16_B16", 16, "bfloat16", False, False, False),
+        ("bf16_B16_chlast", 16, "bfloat16", True, False, False),
+        ("bf16_B32", 32, "bfloat16", False, False, False),
+        ("bf16_B32_chlast", 32, "bfloat16", True, False, False),
+        ("bf16_B16_3das2d", 16, "bfloat16", False, True, False),
+        ("f32_B16_3das2d", 16, None, False, True, False),
+        ("bf16_B16_3das2d_chlast", 16, "bfloat16", True, True, False),
+        # stem-pool experiments (VERDICT r2 item 7): separable 1-D pool
+        ("bf16_B16_seppool", 16, "bfloat16", False, False, True),
+        ("bf16_B32_seppool", 32, "bfloat16", False, False, True),
+        ("f32_B16_seppool", 16, None, False, False, True),
     ]
     only = set(sys.argv[1:])
     results = {}
-    for name, B, dt, cl, as2d in variants:
+    for name, B, dt, cl, as2d, psep in variants:
         if only and name not in only:
             continue
         # build_step traces AND compiles under the requested layout flags,
         # so the returned closure is safe to call with flags reset
-        fn = build_step(B, 256, dt, cl, as2d)
+        fn = build_step(B, 256, dt, cl, as2d, psep)
         t = _timeit(fn)
         results[name] = {"step_s": round(t, 4),
                          "clips_per_s": round(B / t, 1)}
