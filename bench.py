@@ -53,6 +53,17 @@ import numpy as np
 INNER = 4        # scan length for backbone/full-train loops
 INNER_HEAD = 16  # cheap head steps need a longer chain for stable timing
 
+# soft wall-clock budget: optional sections (measured sequential search,
+# amortization trend) are skipped when the remaining budget can't cover
+# them, so the harness always reaches the final printed line even under
+# an external timeout. Skips are recorded in the detail record.
+_T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("MFAS_BENCH_BUDGET_S", "3600"))
+
+
+def _budget_left():
+    return BUDGET_S - (time.perf_counter() - _T0)
+
 # bf16 peak TFLOP/s by device kind (MFU denominators; f32 programs are
 # reported against the same peak, i.e. as a lower bound)
 _PEAK_TFLOPS = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
@@ -433,7 +444,11 @@ def bench_search_wallclock(detail, tmp_root):
     # shape (served from the persistent cache on every later run).
     wall_seq_measured = None
     if os.environ.get("MFAS_BENCH_SEQ_MEASURED", "1") != "0":
-        wall_seq_measured = run_search(sequential_candidates=True)[0]
+        if _budget_left() > 1200:
+            wall_seq_measured = run_search(sequential_candidates=True)[0]
+        else:
+            detail["search_wallclock_seq_measured_skipped"] = \
+                f"budget: {_budget_left():.0f}s left"
 
     # sequential per-candidate wall-clock: same engine/shape as the
     # reference's candidate loop; 2nd run of the SAME engine measures the
@@ -524,7 +539,8 @@ def bench_search_wallclock(detail, tmp_root):
     # costs (surrogate fit, sampling, bank build) are shown to amortize
     # rather than asserted. Sequential basis = extrapolation from the
     # same measured warm per-candidate cost.
-    if on_tpu and os.environ.get("MFAS_BENCH_TREND", "1") != "0":
+    if (on_tpu and os.environ.get("MFAS_BENCH_TREND", "1") != "0"
+            and _budget_left() > 700):
         # NOTE: the CLI's --max_fusions parses into args.max_progression_levels
         big = dict(search_iterations=2, max_progression_levels=3,
                    num_samples=8)

@@ -35,8 +35,19 @@ def adam_init(params):
 
 
 def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
-                weight_decay=0.0):
-    """One torch-Adam step. Returns (new_params, new_state)."""
+                weight_decay=0.0, skip_disconnected=False):
+    """One torch-Adam step. Returns (new_params, new_state).
+
+    skip_disconnected: torch only updates parameters whose ``.grad`` is not
+    None — a parameter disconnected from the loss graph (e.g. the CIFAR
+    aux head when use_intermediate=False, or a FactorizedReduction whose
+    output is never consumed, cifar_searchable.py:235-239) is never
+    stepped, NOT even by weight decay. jax has no None-grads; with this
+    flag a leaf whose gradient is identically zero is left untouched
+    (moments included), matching torch for whole-net training where dead
+    submodules exist. A *connected* param with an exactly-all-zero grad
+    tensor is measure-zero in practice; off by default for the
+    frozen-backbone engines whose trainable sets are all connected."""
     b1, b2 = betas
     step = state["step"] + 1
     t = step.astype(jnp.float32)
@@ -46,14 +57,20 @@ def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
     def upd(p, g, m, v):
         if p is None:
             return None, None, None
+        raw_g = g
         if weight_decay:
             g = g + weight_decay * p
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * jnp.square(g)
-        mhat = m / bc1
-        vhat = v / bc2
-        p = p - lr * mhat / (jnp.sqrt(vhat) + eps)
-        return p, m, v
+        m_n = b1 * m + (1.0 - b1) * g
+        v_n = b2 * v + (1.0 - b2) * jnp.square(g)
+        mhat = m_n / bc1
+        vhat = v_n / bc2
+        p_n = p - lr * mhat / (jnp.sqrt(vhat) + eps)
+        if skip_disconnected:
+            connected = jnp.any(raw_g != 0)
+            p_n = jnp.where(connected, p_n, p)
+            m_n = jnp.where(connected, m_n, m)
+            v_n = jnp.where(connected, v_n, v)
+        return p_n, m_n, v_n
 
     flat = _tmap(upd, params, grads, state["m"], state["v"])
     # unzip the 3-tuples back into trees

@@ -17,6 +17,13 @@ class CifarEngine(ClassifierEngine):
                          input_keys=("image",), label_key="label", mesh=mesh)
         self.use_intermediate = use_intermediate
         self.aux_weight = aux_weight
+        # reference cifar loop: best_error starts at 1e100, so the first
+        # dev epoch ALWAYS snapshots, even at accuracy 0 (cifar.py:18,80-83)
+        self._initial_best_acc = -1.0
+        # whole-net training: dead submodules (aux head when the aux loss
+        # is off, never-consumed FactorizedReductions) have grad=None in
+        # torch and are never stepped — replicate (core/optim.py)
+        self._adam_skip_disconnected = True
 
     def _forward(self, tree, ctx, batch):
         out, iout = self.model.apply(tree, ctx, batch["image"])

@@ -134,7 +134,8 @@ class ClassifierEngine:
         (loss, (updates, corrects)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
         trainable, opt_state = adam_update(
-            trainable, grads, opt_state, lr, weight_decay=self.weight_decay)
+            trainable, grads, opt_state, lr, weight_decay=self.weight_decay,
+            skip_disconnected=getattr(self, "_adam_skip_disconnected", False))
         # BatchNorm emits running-stat updates at f32 regardless of the
         # compute dtype (core/layers.py), so they fold back unchanged
         frozen = apply_updates(frozen, updates)
@@ -181,7 +182,11 @@ class ClassifierEngine:
         opt_state = adam_init(trainable)
         rng = Rng(seed)
 
-        best_acc = 0.0
+        # the reference NTU/AVMNIST loops start best_acc at 0 (a 0.0 dev
+        # epoch never snapshots); the CIFAR loop tracks best ERROR from
+        # 1e100, so its FIRST dev epoch always snapshots — CifarEngine
+        # overrides the start value to preserve that (cifar.py:18,80-83)
+        best_acc = getattr(self, "_initial_best_acc", 0.0)
         best_tree = merge(trainable, frozen)
         start_epoch = 0
 

@@ -86,14 +86,15 @@ def _compare_trajectories(ours, theirs, epochs, with_loss):
     assert int(np.argmax(dev_ours)) == int(np.argmax(dev_ref))
 
 
-def _compare_head_params(flat_tree, sd_ref, prefixes, rtol=1e-3, atol=1e-5):
+def _compare_head_params(flat_tree, sd_ref, prefixes, rtol=1e-3, atol=1e-5,
+                         min_checked=4):
     checked = 0
     for k, v_ref in sd_ref.items():
         if k.startswith(prefixes) and "num_batches_tracked" not in k:
             np.testing.assert_allclose(np.asarray(flat_tree[k]), v_ref,
                                        rtol=rtol, atol=atol, err_msg=k)
             checked += 1
-    assert checked >= 4
+    assert checked >= min_checked
 
 
 def test_avmnist_multiepoch_trajectory_matches_reference(ref, ref_trainers):  # noqa: F811
@@ -226,3 +227,228 @@ def test_ntu_multiepoch_trajectory_matches_reference(ref, ref_trainers):  # noqa
     assert round(our_best, 4) == round(float(ref_best), 4)
     _compare_head_params(flatten_tree(best_tree), _sd_numpy(ref_model),
                          ("fusion_layers.", "central_classifier."))
+
+
+# ---------------------------------------------------------------------------
+# CIFAR vertical: whole-net training, error tracking (cifar.py:14-95)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_cifar(ref, ref_trainers):  # noqa: F811
+    import models.search.cifar_searchable as ref_cifar_mod
+    import models.search.train_searchable.cifar as ref_tr_cifar
+    return types.SimpleNamespace(model=ref_cifar_mod, train=ref_tr_cifar)
+
+
+_VAL_ERR = re.compile(r"Epoch #(\d+) val error: ([\d.e+-]+)")
+
+
+def test_cifar_multiepoch_trajectory_matches_reference(ref, ref_trainers,  # noqa: F811
+                                                       ref_cifar):
+    """Whole-network candidate training (no frozen backbone): per-epoch
+    dev error, best selection (the reference's always-snapshot-first-dev
+    error tracking), and final weights agree across 3 epochs."""
+    from mfas_tpu.engine.cifar import CifarEngine
+    from mfas_tpu.fusion.cifar import Searchable_MicroCNN
+
+    def cifar_args():
+        return types.SimpleNamespace(
+            img_size=16, planes=8, net_str=[1, 2, 1], num_outputs=4,
+            drop_prob=0.0, drop_path=0.0)
+
+    conf = np.array([[1, 6, -2, -1], [3, 0, 0, -1], [2, 7, -2, 1]])
+    epochs, B, nb_train, nb_dev = 3, 8, 3, 2
+    eta_max, eta_min, Ti, Tm = 1e-3, 1e-6, 1, 2.0
+
+    torch.manual_seed(2)
+    ref_model = ref_cifar.model.Searchable_MicroCNN(cifar_args(), conf)
+    sd0 = _sd_numpy(ref_model)
+
+    rs = np.random.RandomState(21)
+    n = B * (nb_train + nb_dev)
+    images = rs.randn(n, 3, 16, 16).astype(np.float32)
+    labels = rs.randint(0, 4, n)
+
+    def torch_batches(sl):
+        return [(torch.from_numpy(images[sl][i * B:(i + 1) * B]),
+                 torch.from_numpy(labels[sl][i * B:(i + 1) * B]).long())
+                for i in range(len(labels[sl]) // B)]
+
+    ref_loaders = {"train": torch_batches(slice(0, B * nb_train)),
+                   "dev": torch_batches(slice(B * nb_train, None))}
+    sizes = {"train": B * nb_train, "dev": B * nb_dev}
+
+    opt = torch.optim.Adam(ref_model.parameters(), lr=eta_max,
+                           weight_decay=1e-4)
+    sched = ref_trainers.sched.LRCosineAnnealingScheduler(
+        eta_max, eta_min, Ti, Tm, nb_train)
+    # the reference prints only the dev ERROR when verbose
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ref_best = ref_cifar.train.train_cifar_track_acc(
+            ref_model, torch.nn.CrossEntropyLoss(), opt, sched,
+            ref_loaders, sizes, device="cpu", num_epochs=epochs,
+            verbose=True)
+    ref_errors = [float(e) for _, e in _VAL_ERR.findall(buf.getvalue())]
+    assert len(ref_errors) == epochs
+
+    ours = Searchable_MicroCNN(cifar_args(), conf)
+    tree = ckpt.tree_from_state_dict(sd0, template=ours.init(0))
+    engine = CifarEngine(ours)
+    arrays = {"image": images, "label": labels.astype(np.int32)}
+    loaders = {
+        "train": ArrayLoader(arrays, B, indices=np.arange(B * nb_train)),
+        "dev": ArrayLoader(arrays, B, indices=np.arange(B * nb_train, n)),
+    }
+    my_sched = LRCosineAnnealingScheduler(eta_max, eta_min, Ti, Tm, nb_train)
+    (our_best, best_tree), our_traj = _run_captured(
+        lambda: engine.train_track_acc(tree, None, loaders, sizes, my_sched,
+                                       num_epochs=epochs))
+    our_dev_accs = [a for p, _, a in our_traj if p == "dev"]
+    assert len(our_dev_accs) == epochs
+    for ours_acc, ref_err in zip(our_dev_accs, ref_errors):
+        # our print is 4dp; the reference error is exact
+        np.testing.assert_allclose(ours_acc, 1.0 - ref_err, atol=1.5e-4)
+    np.testing.assert_allclose(float(our_best), float(ref_best), atol=1e-6)
+    flat = flatten_tree(best_tree)
+    sd_after = _sd_numpy(ref_model)
+    # trained weights agree — conv/classifier params (the live, functional
+    # ones). Shift-invariant BN *biases* are excluded: their true gradient
+    # is ~1e-8 noise (a following BN normalizes the shift away) and Adam's
+    # scale invariance amplifies that noise into lr-sized steps whose
+    # direction is framework-fp-noise — torch vs torch run-to-run would
+    # diverge identically (verified: raw gradients match to <1.4e-7).
+    _compare_head_params(flat, sd_after,
+                         ("classifier.", "input_conv.0."), min_checked=3)
+    # dead submodules (grad=None in torch: the aux head with the aux loss
+    # off, and the never-consumed pooled_layers.0) must be UNTOUCHED on
+    # both sides — torch never steps them and skip_disconnected adam
+    # replicates that (not even weight decay)
+    for k, v0 in sd0.items():
+        if k.startswith(("aux_head.", "pooled_layers.0.")) \
+                and "num_batches_tracked" not in k \
+                and "running_" not in k:
+            np.testing.assert_array_equal(sd_after[k], v0, err_msg=k)
+            np.testing.assert_array_equal(np.asarray(flat[k]), v0, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# MM-IMDB vertical: multi-label F1 tracking (mmimdb.py:15-137)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def ref_mmimdb(ref, ref_trainers):  # noqa: F811
+    """The mmimdb trainer imports the nonexistent ``models.train.scheduler``
+    (SURVEY §2 bug list) — point it at the real scheduler module so the
+    isinstance gate works as intended."""
+    import models.auxiliary.scheduler as ref_sched
+    mt = types.ModuleType("models.train")
+    mt.scheduler = ref_sched
+    sys.modules.setdefault("models.train", mt)
+    sys.modules.setdefault("models.train.scheduler", ref_sched)
+    from tests.ref_stubs import install_torchvision_stub
+    install_torchvision_stub()  # mm_imdb imports torchvision at top level
+    import models.central.mm_imdb as ref_imdb
+    import models.search.train_searchable.mmimdb as ref_tr
+    return types.SimpleNamespace(models=ref_imdb, train=ref_tr)
+
+
+_F1_LINE = re.compile(r"epoch #(\d+) dev F1: ([\d.]+)")
+
+
+def _zero_dropout(torch_model, our_model):
+    import torch.nn as nn
+
+    from mfas_tpu.core.layers import Dropout, Dropout2d
+
+    for m in torch_model.modules():
+        if isinstance(m, (nn.Dropout, nn.Dropout2d)):
+            m.p = 0.0
+    for m in our_model.modules():
+        if isinstance(m, (Dropout, Dropout2d)):
+            m.p = 0.0
+
+
+def test_mmimdb_multiepoch_trajectory_matches_reference(ref, ref_trainers,  # noqa: F811
+                                                        ref_mmimdb):
+    """SimpleVTNet (MaxOut text + GP_LeNet_Deeper image, BatchNorm1d in
+    the text column) trained 3 epochs with the weighted-BCE criterion:
+    per-epoch dev samples-F1, best-F1 selection and the snapshot weights
+    agree. Dropout (hardcoded 0.5 in both trees) is zeroed on BOTH sides
+    — RNG streams are framework-specific, everything else is pinned.
+
+    num_outputs == batchsize is load-bearing: the reference's
+    WeightedCrossEntropyWithLogits builds its weight vector with
+    ``[w] * logits.size()[0]`` (mm_imdb.py:662) — a batch-length vector
+    that broadcasts against the CLASS axis, so the criterion only runs
+    when the two sizes agree (a latent reference bug; with all-equal
+    weights the value then matches the intended scalar pos_weight)."""
+    args = types.SimpleNamespace(channels=6, num_outputs=8)
+    epochs, B, nb_train, nb_dev = 3, 8, 3, 2
+    eta_max, eta_min, Ti, Tm = 1e-3, 1e-6, 1, 2.0
+
+    torch.manual_seed(4)
+    ref_model = ref_mmimdb.models.SimpleVTNet(args, 64, 1)
+
+    from mfas_tpu.engine.mmimdb import MMIMDBEngine
+    from mfas_tpu.models.mm_imdb import SimpleVTNet
+
+    ours = SimpleVTNet(args, 64, 1)
+    _zero_dropout(ref_model, ours)
+    sd0 = _sd_numpy(ref_model)
+
+    rs = np.random.RandomState(31)
+    n = B * (nb_train + nb_dev)
+    text = rs.randn(n, 300).astype(np.float32)
+    image = rs.randn(n, 1, 64, 64).astype(np.float32)
+    label = (rs.rand(n, args.num_outputs) > 0.6).astype(np.float32)
+
+    def torch_batches(sl):
+        return [{"text": torch.from_numpy(text[sl][i * B:(i + 1) * B]),
+                 "image": torch.from_numpy(image[sl][i * B:(i + 1) * B]),
+                 "label": torch.from_numpy(label[sl][i * B:(i + 1) * B])}
+                for i in range(len(label[sl]) // B)]
+
+    ref_loaders = {"train": torch_batches(slice(0, B * nb_train)),
+                   "dev": torch_batches(slice(B * nb_train, None))}
+    sizes = {"train": B * nb_train, "dev": B * nb_dev}
+
+    crit = ref_mmimdb.models.WeightedCrossEntropyWithLogits(2.0)
+    opt = torch.optim.Adam(ref_model.parameters(), lr=eta_max,
+                           weight_decay=1e-4)
+    sched = ref_trainers.sched.LRCosineAnnealingScheduler(
+        eta_max, eta_min, Ti, Tm, nb_train)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ref_best = ref_mmimdb.train.train_mmimdb_track_f1(
+            ref_model, crit, opt, sched, ref_loaders, sizes, device="cpu",
+            num_epochs=epochs, verbose=True)
+    ref_f1s = [float(v) for _, v in _F1_LINE.findall(buf.getvalue())]
+    assert len(ref_f1s) == epochs
+
+    tree = ckpt.tree_from_state_dict(sd0, template=ours.init(0))
+    engine = MMIMDBEngine(ours, pos_weight=2.0)
+
+    def our_batches(sl):
+        return [{"text": text[sl][i * B:(i + 1) * B],
+                 "image": image[sl][i * B:(i + 1) * B],
+                 "label": label[sl][i * B:(i + 1) * B],
+                 "_mask": np.ones((B,), np.float32)}
+                for i in range(len(label[sl]) // B)]
+
+    loaders = {"train": our_batches(slice(0, B * nb_train)),
+               "dev": our_batches(slice(B * nb_train, None))}
+    my_sched = LRCosineAnnealingScheduler(eta_max, eta_min, Ti, Tm, nb_train)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        our_best, best_tree = engine.train_track_f1(
+            tree, None, loaders, sizes, my_sched, num_epochs=epochs,
+            verbose=True)
+    our_f1s = [float(v) for _, v in _F1_LINE.findall(buf2.getvalue())]
+    assert len(our_f1s) == epochs
+
+    # F1 comes from thresholded sigmoids: tiny logit noise can only flip a
+    # prediction sitting exactly at the 0.3 threshold — tight tolerance
+    np.testing.assert_allclose(our_f1s, ref_f1s, atol=5e-3)
+    np.testing.assert_allclose(float(our_best), float(ref_best), atol=5e-3)
+    assert int(np.argmax(our_f1s)) == int(np.argmax(ref_f1s))
+    _compare_head_params(flatten_tree(best_tree), _sd_numpy(ref_model),
+                         ("classifier.",), min_checked=2)
