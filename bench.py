@@ -669,6 +669,13 @@ def bench_e2e_input(detail, tmp_root):
         "host_produce_collate": round(t_host, 4),
         "device_step_resident": round(t_step, 4),
         "epoch_total": round(t / nb, 4)}
+    detail["e2e_note"] = (
+        "epoch_total ~= device_step + H2D transfer: this remote-tunneled "
+        "backend serializes device_put with program execution, so the "
+        "prefetch thread cannot overlap them and the h2d bound below "
+        "(which assumes overlap) is unreachable here; the host produce+"
+        "collate side is fully hidden. A locally-attached chip overlaps "
+        "H2D DMA with compute.")
 
     # raw host->device bandwidth at the same transfer size, so the e2e
     # number is self-explaining when the link (e.g. a remote-tunneled

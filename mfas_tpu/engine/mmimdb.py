@@ -56,8 +56,12 @@ class MMIMDBEngine:
             return loss, ctx.updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        # whole-net training with dead heads (SimpleVTNet discards the
+        # unimodal t_out/im_out logits): torch leaves grad-None params
+        # unstepped — replicate via skip_disconnected (core/optim.py)
         trainable, opt_state = adam_update(trainable, grads, opt_state, lr,
-                                           weight_decay=self.weight_decay)
+                                           weight_decay=self.weight_decay,
+                                           skip_disconnected=True)
         frozen = apply_updates(frozen, updates)
         return trainable, frozen, opt_state, loss
 

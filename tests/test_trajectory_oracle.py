@@ -450,5 +450,13 @@ def test_mmimdb_multiepoch_trajectory_matches_reference(ref, ref_trainers,  # no
     np.testing.assert_allclose(our_f1s, ref_f1s, atol=5e-3)
     np.testing.assert_allclose(float(our_best), float(ref_best), atol=5e-3)
     assert int(np.argmax(our_f1s)) == int(np.argmax(ref_f1s))
-    _compare_head_params(flatten_tree(best_tree), _sd_numpy(ref_model),
-                         ("classifier.",), min_checked=2)
+    flat = flatten_tree(best_tree)
+    sd_after = _sd_numpy(ref_model)
+    _compare_head_params(flat, sd_after, ("classifier.",), min_checked=2)
+    # the unused unimodal text head (SimpleVTNet discards t_out,
+    # mm_imdb.py:210-216) is grad-None in torch: untouched on both sides
+    for k, v0 in sd0.items():
+        if k.startswith("text_net.hid2val."):
+            np.testing.assert_array_equal(sd_after[k], v0, err_msg=k)
+            np.testing.assert_array_equal(np.asarray(flat[k]), v0,
+                                          err_msg=k)
