@@ -275,6 +275,56 @@ def test_epnas_sampled_sequence_matches_reference_own_loop(ref_searchable):
                                np.asarray(ref_accs, np.float64))
 
 
+def test_randsearch_sampled_sequence_matches_reference_own_loop(
+        ref_searchable):
+    """Drive the reference's actual ``ModelSearcher._randsearch``
+    (/root/reference/models/searchable.py:139-174) — including the stale
+    loop-index bug in sample_k_configurations_directly (tools.py:112,
+    every layer draws from the LAST level's table) — against the
+    rebuild's with ``legacy_randsearch_bug=True``: the python-random and
+    numpy-random call orders must line up exactly."""
+    import random
+
+    args = make_args()
+    args.randsearch = True
+    args.legacy_randsearch_bug = True
+
+    def make_train(rec):
+        def train(confs, model_type, dataloaders, a, device,
+                  state_dict=None):
+            rec.append([np.asarray(c).copy() for c in confs])
+            return [scripted_acc(c) for c in confs]
+        return train
+
+    ref_trained, our_trained = [], []
+
+    np.random.seed(77)
+    random.seed(99)
+    searcher = ref_searchable.S.ModelSearcher(args)
+    ref_sdata = searcher._randsearch(
+        None, None, {"train_sampled_fun": make_train(ref_trained),
+                     "get_layer_confs": get_layer_confs}, "cpu")
+
+    class Searcher(ModelSearcher):
+        def search(self):
+            return self._randsearch(
+                None, None, {"train_sampled_fun": make_train(our_trained),
+                             "get_layer_confs": get_layer_confs})
+
+    np.random.seed(77)
+    random.seed(99)
+    our_sdata = Searcher(args).search()
+
+    assert len(our_trained) == len(ref_trained) == \
+        args.search_iterations * args.max_progression_levels
+    for ours, theirs in zip(our_trained, ref_trained):
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            np.testing.assert_array_equal(a, b)
+    assert len(our_sdata) == sum(
+        len(g) for g in ref_sdata._dict_data.values())
+
+
 def test_epnas_with_real_surrogate_runs():
     """Smoke: the full loop with the JAX LSTM surrogate end-to-end."""
     args = make_args()
