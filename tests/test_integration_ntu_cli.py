@@ -74,6 +74,32 @@ def test_main_found_ntu_smoke(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.slow
+def test_main_found_ntu_use_dataparallel_mesh(tmp_path, monkeypatch, capsys):
+    """The reference's only multi-device path is main_found_ntu's
+    --use_dataparallel (main_found_ntu.py:113-114); ours maps the same
+    flag to batch sharding over a mesh of all visible devices. Run the
+    CLI end-to-end on the 8-virtual-device backend: flag -> make_mesh ->
+    ClassifierEngine(mesh=...) -> sharded two-phase training."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import main_found_ntu as m
+
+    build_ntu_fixture(tmp_path)
+    run_cli(m, monkeypatch, [
+        "main_found_ntu.py",
+        "--datadir", str(tmp_path), "--checkpointdir", str(tmp_path),
+        "--conf", "0", "--num_outputs", "3", "--batchsize", "8",
+        "--epochs", "1", "--inner_representation_size", "8",
+        "--vid_len", "2", "32", "--j", "2",
+        "--random_backbones", "--no-verbose", "--use_dataparallel",
+    ])
+    out = capsys.readouterr().out
+    assert "Model Acc:" in out
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("extra", [(), ("--cache_features",)],
                          ids=["default", "cache_features"])
 def test_main_searchable_ntu_tiny_population_search(tmp_path, monkeypatch,

@@ -116,6 +116,7 @@ def main():
         ("bf16_B16_seppool", 16, "bfloat16", False, False, True),
         ("bf16_B32_seppool", 32, "bfloat16", False, False, True),
         ("f32_B16_seppool", 16, None, False, False, True),
+        ("bf16_B64", 64, "bfloat16", False, False, False),
     ]
     only = set(sys.argv[1:])
     results = {}
