@@ -97,6 +97,28 @@ class SimpleRecurrentSurrogate:
         return float(self._predict(self.params, jnp.asarray(seq),
                                    jnp.asarray([L], jnp.int32))[0, 0])
 
+    def eval_models(self, confs):
+        """Batched eval_model over a conf list: ONE device dispatch per
+        power-of-two batch bucket instead of one per conf — the EPNAS loop
+        scores up to K*32 unfoldings per level (searchable.py:99), and
+        per-conf dispatch dominates that step on a remote-dispatch
+        backend. Mixed lengths ride the per-sequence last-step gather;
+        padded columns are discarded."""
+        confs = [np.asarray(c, np.float32) for c in confs]
+        if not confs:
+            return []
+        N = len(confs)
+        B = _bucket(N)
+        Lp = max(self._padded_len(len(c)) for c in confs)
+        seq = np.zeros((Lp, B, confs[0].shape[-1]), np.float32)
+        lengths = np.ones((B,), np.int32)
+        for i, c in enumerate(confs):
+            seq[:len(c), i] = c
+            lengths[i] = len(c)
+        out = np.asarray(self._predict(self.params, jnp.asarray(seq),
+                                       jnp.asarray(lengths)))
+        return [float(v) for v in out[:N, 0]]
+
     # ---------------- training
     def _step_impl(self, params, opt_state, seq, lengths, target, mask, lr):
         def loss_fn(p):

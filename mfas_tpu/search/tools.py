@@ -17,7 +17,12 @@ import numpy as np
 def predict_accuracies_with_surrogate(configurations, surrogate):
     """Surrogate scores for a conf list (reference tools.py:22-30).
     ``surrogate`` is a mfas_tpu.search.surrogate.SimpleRecurrentSurrogate
-    bound to its params."""
+    bound to its params. Scoring is batched into one device dispatch when
+    the surrogate supports it (the reference loops per conf — same
+    values, K*32 fewer dispatches per search level); stub surrogates
+    without ``eval_models`` keep the per-conf path."""
+    if hasattr(surrogate, "eval_models"):
+        return surrogate.eval_models(configurations)
     return [surrogate.eval_model(np.asarray(c)) for c in configurations]
 
 

@@ -104,6 +104,24 @@ def test_surrogate_learns_ranking():
     assert hi > lo
 
 
+def test_surrogate_batched_eval_matches_per_conf():
+    """eval_models (one dispatch per bucket) must agree with the per-conf
+    eval_model path for mixed sequence lengths — batching only changes
+    the batch axis, never a prediction."""
+    surr = SimpleRecurrentSurrogate(8, 3, 8, seed=3, max_seq_len=4)
+    rs = np.random.RandomState(0)
+    confs = [rs.randint(0, 4, (L, 3)) for L in (1, 3, 2, 4, 1, 2, 3)]
+    batched = surr.eval_models(confs)
+    single = [surr.eval_model(c) for c in confs]
+    np.testing.assert_allclose(batched, single, rtol=1e-5, atol=1e-6)
+    assert surr.eval_models([]) == []
+    # tools routes through the batched path for the real surrogate
+    import mfas_tpu.search.tools as tools
+    np.testing.assert_allclose(
+        tools.predict_accuracies_with_surrogate(confs, surr), batched,
+        rtol=0, atol=0)
+
+
 def test_surrogate_length_masking_is_exact():
     """Padded+length-masked prediction must equal the unpadded one: the
     LSTM state at step l-1 is independent of later (padded) inputs."""

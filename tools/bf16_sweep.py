@@ -78,8 +78,11 @@ def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False,
             "_mask": jnp.ones((B,), jnp.float32)}
         key = Rng(0).next()
 
+        # batch is a jit ARGUMENT, not a closure capture: captured arrays
+        # embed as HLO constants, and at B64 the 400 MB clip constant
+        # overflows the remote-compile request body (HTTP 413)
         @jax.jit
-        def loop(trainable, frozen, opt):
+        def loop(trainable, frozen, opt, batch):
             def body(carry, _):
                 trainable, frozen, opt = carry
                 trainable, frozen, opt, loss, corr = engine._train_step_impl(
@@ -93,8 +96,8 @@ def build_step(B, IMG, compute_dtype, channels_last, conv3d_as_2d=False,
         # trace + compile NOW, while the layout flags are held — a caller
         # invoking the closure later (flags already reset) must not
         # silently trace the default kernels
-        loop_c = loop.lower(trainable, frozen, opt).compile()
-        return lambda: loop_c(trainable, frozen, opt)
+        loop_c = loop.lower(trainable, frozen, opt, batch).compile()
+        return lambda: loop_c(trainable, frozen, opt, batch)
     finally:
         F.set_conv_channels_last(False)
         F.set_conv3d_as_2d(False)
