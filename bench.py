@@ -442,9 +442,11 @@ def bench_search_wallclock(detail, tmp_root):
     # extrapolated basis below deliberately excludes; first-ever execution
     # additionally pays one-time XLA compiles for each distinct fusion
     # shape (served from the persistent cache on every later run).
+    # worst observed cost: 2244 s on a slow-tunnel day (round 3) — the
+    # guard must cover that, not just the typical ~700 s
     wall_seq_measured = None
     if os.environ.get("MFAS_BENCH_SEQ_MEASURED", "1") != "0":
-        if _budget_left() > 1200:
+        if _budget_left() > 2600:
             wall_seq_measured = run_search(sequential_candidates=True)[0]
         else:
             detail["search_wallclock_seq_measured_skipped"] = \
@@ -540,7 +542,7 @@ def bench_search_wallclock(detail, tmp_root):
     # rather than asserted. Sequential basis = extrapolation from the
     # same measured warm per-candidate cost.
     if (on_tpu and os.environ.get("MFAS_BENCH_TREND", "1") != "0"
-            and _budget_left() > 700):
+            and _budget_left() > 900):
         # NOTE: the CLI's --max_fusions parses into args.max_progression_levels
         big = dict(search_iterations=2, max_progression_levels=3,
                    num_samples=8)
@@ -623,11 +625,11 @@ def bench_e2e_input(detail, tmp_root):
         return time.perf_counter() - t0, nb
 
     epoch()                              # cold: compile + page-in
-    t, nb = epoch()
+    t1, nb = epoch()
     t2, _ = epoch()
-    t = min(t, t2)
+    detail["e2e_epoch_runs_s"] = [round(t1, 2), round(t2, 2)]
+    t = min(t1, t2)
     detail["e2e_train_clips_per_s"] = round(nb * B / t, 2)
-    detail["e2e_epoch_runs_s"] = [round(t, 2), round(t2, 2)]
     detail["e2e_config"] = {"batch": B, "img": IMG, "n_samples": n,
                             "num_workers": 4, "device_normalize": True}
 

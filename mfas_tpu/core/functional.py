@@ -73,7 +73,12 @@ def set_pool_as_slices(enabled: bool):
 # max_pool2d as two 1-D reduce_windows (rows then columns — exact for max:
 # max over the k x k window == col-max of row-maxes). 3+3 comparisons per
 # output instead of 9, and the backward is two narrow select_and_scatters
-# instead of one 9-wide one. Flag-gated for A/B measurement.
+# instead of one 9-wide one. Flag-gated for A/B measurement; measured
+# slightly SLOWER than the combined window on v5e (TPU_DESIGN.md §5.2),
+# so it stays off. Caveat: at exactly-TIED window maxima (common after a
+# ReLU zeroes several entries) the two-pass backward can route the
+# gradient to a different tied element than the combined/torch path —
+# values are bit-identical, gradient attribution at ties is not.
 POOL_SEPARABLE = _os.environ.get("MFAS_POOL_SEPARABLE") == "1"
 
 

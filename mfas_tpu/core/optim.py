@@ -45,8 +45,13 @@ def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
     stepped, NOT even by weight decay. jax has no None-grads; with this
     flag a leaf whose gradient is identically zero is left untouched
     (moments included), matching torch for whole-net training where dead
-    submodules exist. A *connected* param with an exactly-all-zero grad
-    tensor is measure-zero in practice; off by default for the
+    submodules exist. The zero test is per-LEAF (the whole weight
+    tensor): dying-ReLU zeroes individual rows of a weight, not the
+    entire leaf — an all-zero leaf on a connected module requires every
+    unit of the layer dead for the whole batch, at which point torch's
+    zero-tensor grad would still decay the moments where we freeze them;
+    that residual mismatch is accepted as the cost of detecting
+    disconnection without graph introspection. Off by default for the
     frozen-backbone engines whose trainable sets are all connected."""
     b1, b2 = betas
     step = state["step"] + 1

@@ -18,7 +18,10 @@ class CifarEngine(ClassifierEngine):
         self.use_intermediate = use_intermediate
         self.aux_weight = aux_weight
         # reference cifar loop: best_error starts at 1e100, so the first
-        # dev epoch ALWAYS snapshots, even at accuracy 0 (cifar.py:18,80-83)
+        # dev epoch ALWAYS snapshots, even at accuracy 0 (cifar.py:18,80-83).
+        # With num_epochs=0 the -1.0 escapes as the "accuracy" — matching
+        # the reference, which returns 1-1e100 in that degenerate case
+        # (any >=1-epoch run overwrites it on the first dev phase)
         self._initial_best_acc = -1.0
         # whole-net training: dead submodules (aux head when the aux loss
         # is off, never-consumed FactorizedReductions) have grad=None in

@@ -13,23 +13,31 @@ from __future__ import annotations
 import os
 
 
-def enable_persistent_compilation_cache(path: str | None = None,
-                                        min_compile_secs: float = 0.5):
-    """Idempotent; safe to call before or after backend init (must precede
-    the first compile to benefit it). Returns the cache dir or None.
-
-    Also re-asserts JAX_PLATFORMS from the environment: TPU deployment
-    shims (e.g. an axon sitecustomize) may force jax_platforms
-    programmatically, which silently beats the env var — so a user's
-    ``JAX_PLATFORMS=cpu python main_*.py`` would land on the TPU. Every
-    entry point calls this, restoring the documented env semantics."""
+def honor_env_platforms():
+    """Re-assert JAX_PLATFORMS from the environment: TPU deployment shims
+    (e.g. an axon sitecustomize) may force jax_platforms programmatically,
+    which silently beats the env var — so a user's ``JAX_PLATFORMS=cpu
+    python main_*.py`` would land on the TPU. Restores the documented env
+    semantics; a no-op when the variable is unset."""
     import jax
 
     env_platforms = os.environ.get("JAX_PLATFORMS")
     if env_platforms:
         jax.config.update("jax_platforms", env_platforms)
+
+
+def enable_persistent_compilation_cache(path: str | None = None,
+                                        min_compile_secs: float = 0.5):
+    """Idempotent; safe to call before or after backend init (must precede
+    the first compile to benefit it). Returns the cache dir or None.
+
+    Doubles as the entry-point init hook: every CLI/bench/dryrun calls it
+    first, so it also applies ``honor_env_platforms`` (callers that need
+    only one of the two behaviors can call the dedicated function)."""
+    honor_env_platforms()
     if os.environ.get("MFAS_COMPILE_CACHE", "1") == "0":
         return None
+    import jax
 
     path = (path
             or os.environ.get("MFAS_COMPILE_CACHE_DIR")

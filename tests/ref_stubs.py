@@ -59,8 +59,15 @@ def install_aux_scheduler_stub():
 
 def install_torchvision_stub():
     if "torchvision" in sys.modules:
+        # repair a pre-existing (possibly partial) stub instead of failing
         tv = sys.modules["torchvision"]
-        if not hasattr(getattr(tv, "models", None), "vgg19"):
+        if getattr(tv, "models", None) is None:
+            m = types.ModuleType("torchvision.models")
+            m.__spec__ = importlib.machinery.ModuleSpec(
+                "torchvision.models", None)
+            tv.models = m
+            sys.modules["torchvision.models"] = m
+        if not hasattr(tv.models, "vgg19"):
             tv.models.vgg19 = _vgg19
         return
     tv = types.ModuleType("torchvision")
