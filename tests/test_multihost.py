@@ -155,6 +155,122 @@ def test_two_process_dcn_collective(tmp_path):
         assert f"proc {pid}: global sum" in out
 
 
+# the population train step over a 2-process (pop, data) mesh: pop stays
+# communication-free, the data axis crosses the process boundary
+_CHILD_POP = r"""
+import os, sys, types
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["MFAS_REPO"])
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from mfas_tpu.parallel import mesh as pm
+
+pid = int(os.environ["MFAS_PID"])
+pm.initialize_distributed(os.environ["MFAS_COORD"], num_processes=2,
+                          process_id=pid)
+assert jax.device_count() == 4
+
+sys.path.insert(0, os.environ["MFAS_REPO"] + "/tests")
+from test_multihost import _tiny_population_setup
+trainer, confs, enc_np, feats_np, label_np, wmask_np = \
+    _tiny_population_setup()
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2), ("pop", "data"))
+pop_sh = NamedSharding(mesh, P("pop"))
+data_sh = NamedSharding(mesh, P("data"))
+repl = NamedSharding(mesh, P())
+
+from mfas_tpu.search.population import init_population
+from mfas_tpu.core.optim import adam_init
+
+
+def put(tree, sh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sh), tree)
+
+params_l, bn_l = init_population(confs, trainer.spec, seed=0)
+opt_l = adam_init(params_l)  # from LOCAL params: leaves stay fetchable
+params, bn = put(params_l, pop_sh), put(bn_l, pop_sh)
+enc = put(enc_np, pop_sh)
+opt = {"m": put(opt_l["m"], pop_sh), "v": put(opt_l["v"], pop_sh),
+       "step": jax.device_put(np.asarray(opt_l["step"]), repl)}
+feats = put(feats_np, data_sh)
+label = put(label_np, data_sh)
+wmask = put(wmask_np, data_sh)
+with mesh:
+    params, bn, opt, loss_c, corr_c = trainer._train_step(
+        params, bn, opt, enc, *feats, label, wmask,
+        jnp.float32(1e-3), jnp.zeros(2, jnp.uint32))
+    loss_c = jax.jit(lambda x: x, out_shardings=repl)(loss_c)
+    losses = np.asarray(jax.device_get(loss_c))
+print(f"proc {pid}: pop losses " + " ".join(f"{v:.8f}" for v in losses),
+      flush=True)
+"""
+
+
+def _tiny_population_setup():
+    """Deterministic population trainer + synthetic NTU-width features,
+    shared by the DCN children and the in-process oracle. Global batch 4
+    (divides data=2), population 4 (divides pop=2)."""
+    from mfas_tpu.fusion import ntu as f_ntu
+    from mfas_tpu.search.population import (PopulationSpec,
+                                            PopulationTrainer, encode_confs)
+
+    args = types.SimpleNamespace(
+        num_outputs=6, vid_len=(2, 32), drpt=0.0,
+        inner_representation_size=8, multitask=False, alphas=False,
+        batchnorm=False)
+    sizes_a, sizes_b = f_ntu.tap_sizes(args)
+    spec = PopulationSpec(
+        sizes_a=tuple(sizes_a), sizes_b=tuple(sizes_b),
+        hidden=args.inner_representation_size, num_outputs=args.num_outputs,
+        max_rows=4, batchnorm=False, drpt=0.0, use_alphas=False,
+        multitask=False)
+    trainer = PopulationTrainer(spec, None, None)
+    confs = [np.array([[3, 1, 1]]), np.array([[1, 3, 0], [1, 1, 1]]),
+             np.array([[0, 0, 0]]), np.array([[2, 2, 1]])]
+    enc = encode_confs(confs, spec)
+    rs = np.random.RandomState(5)
+    B = 4
+    feats = (rs.randn(B, len(sizes_a), max(sizes_a)).astype(np.float32),
+             rs.randn(B, len(sizes_b), max(sizes_b)).astype(np.float32),
+             None, None)
+    label = rs.randint(0, args.num_outputs, B).astype(np.int32)
+    wmask = np.ones((B,), np.float32)
+    return trainer, confs, enc, feats, label, wmask
+
+
+@pytest.mark.slow
+def test_two_process_dcn_population_step(tmp_path):
+    """One population train step over the 2-process (pop, data) mesh:
+    per-candidate losses equal the single-process unsharded run."""
+    import jax.numpy as jnp
+
+    from mfas_tpu.core.optim import adam_init
+    from mfas_tpu.search.population import init_population
+
+    trainer, confs, enc_np, feats_np, label_np, wmask_np = \
+        _tiny_population_setup()
+    params, bn = init_population(confs, trainer.spec, seed=0)
+    enc = {k: jnp.asarray(v) for k, v in enc_np.items()}
+    feats = tuple(None if f is None else jnp.asarray(f) for f in feats_np)
+    _, _, _, loss_c, _ = trainer._train_step(
+        params, bn, adam_init(params), enc, *feats,
+        jnp.asarray(label_np), jnp.asarray(wmask_np),
+        jnp.float32(1e-3), jnp.zeros(2, np.uint32))
+    want = np.asarray(loss_c)
+
+    outs = _spawn_two(_CHILD_POP)
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"proc {pid}: pop losses ")]
+        assert line, f"proc {pid} printed no losses:\n{out}"
+        got = np.asarray([float(v) for v in line[0].split("losses ")[1].split()])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_two_process_dcn_engine_step(tmp_path):
     """One real engine train step across the 2-process mesh equals the
