@@ -55,6 +55,12 @@ def parse_args():
                              'frozen-backbone features once (eval mode) and '
                              'gather shuffled batches from the bank every '
                              'epoch/population')
+    parser.add_argument('--shard_feature_bank', action='store_true',
+                        default=False,
+                        help='with --cache_features on a data-axis mesh: '
+                             'shard the bank rows over the data axis '
+                             '(1/N per-chip HBM; batch-sized collective '
+                             'per gather) instead of replicating it')
     parser.add_argument('--no_fused_epochs', action='store_true',
                         default=False,
                         help='debug escape hatch: with --cache_features, run '

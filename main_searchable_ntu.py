@@ -106,6 +106,12 @@ def parse_args():
                              'epoch/population — zero backbone forwards '
                              'after the first pass (freezes the '
                              'augmentation draw; candidate scoring only)')
+    parser.add_argument('--shard_feature_bank', action='store_true',
+                        default=False,
+                        help='with --cache_features on a data-axis mesh: '
+                             'shard the bank rows over the data axis '
+                             '(1/N per-chip HBM; batch-sized collective '
+                             'per gather) instead of replicating it')
     parser.add_argument('--no_fused_epochs', action='store_true',
                         default=False,
                         help='debug escape hatch: with --cache_features, run '

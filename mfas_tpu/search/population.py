@@ -326,7 +326,8 @@ class PopulationTrainer:
 
     def __init__(self, spec: PopulationSpec, feature_extractor,
                  backbone_tree, mesh=None, input_prep=None,
-                 cache_train_features=False, fused_epochs=True):
+                 cache_train_features=False, fused_epochs=True,
+                 shard_feature_bank=False):
         """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
         over 'pop' (communication-free) and batches over 'data'; a 1-D
         ('data',) mesh shards batches only. Under jit/GSPMD the program is
@@ -343,7 +344,14 @@ class PopulationTrainer:
         straight from the bank — zero backbone forwards after the first
         pass. Approximation vs the faithful path (documented, default off):
         the augmentation draw and backbone BN batch-statistics are frozen
-        at bank-build time."""
+        at bank-build time.
+
+        shard_feature_bank: with a 'data' mesh axis, store the bank's
+        feature rows sharded over it instead of replicated — per-chip HBM
+        footprint scales 1/data with mesh size (banks bigger than one
+        chip's HBM), at the cost of a batch-sized collective per gather.
+        Numerically identical to the replicated bank (gathers are
+        index-exact); no-op without a data axis."""
         self.spec = spec
         self.extractor = feature_extractor
         self.input_prep = input_prep
@@ -365,6 +373,7 @@ class PopulationTrainer:
         self._dev_cache_key = None
 
         self.cache_train_features = bool(cache_train_features)
+        self.shard_feature_bank = bool(shard_feature_bank)
         self._train_bank = None
         self._train_bank_key = None
         self._bank_gather = jax.jit(
@@ -662,7 +671,29 @@ class PopulationTrainer:
             parts["la"].append(la[:n].astype(store_dt))
             parts["label"].append(label[:n])
         bank = {k: jnp.concatenate(v, axis=0) for k, v in parts.items()}
-        return self._replicate(bank)
+        if not (self.shard_feature_bank and self._data_sharded):
+            return self._replicate(bank)
+        # feature rows sharded over the data axis: each chip holds n/data
+        # rows (1/data HBM footprint), every gather moves one batch over
+        # the mesh. Labels stay REPLICATED so bank["label"].shape[0] is
+        # the true sample count — the epoch index plans and ragged-batch
+        # masks key off it — and only the (tiny) label gather is local.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nd = self.mesh.shape["data"]
+        n = int(bank["label"].shape[0])
+        pad = (-n) % nd   # pad rows are never gathered: take indices < n
+        sharded = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        out = {}
+        for k, a in bank.items():
+            if k == "label":
+                out[k] = jax.device_put(a, repl)
+                continue
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
+            out[k] = jax.device_put(a, sharded)
+        return out
 
     def _bank_batches(self, bank, batch_size, shuffle_rs):
         """Yield (fa, fb, lb, la, label, wmask) batches device-gathered from

@@ -94,7 +94,9 @@ class AVMNISTSearcher(ModelSearcher):
                 spec, extractor, backbone_tree, ("image", "audio"),
                 mesh=mesh, sequential_fallback=seq,
                 cache_features=getattr(args, "cache_features", False),
-                fused_epochs=not getattr(args, "no_fused_epochs", False))
+                fused_epochs=not getattr(args, "no_fused_epochs", False),
+                shard_feature_bank=getattr(args, "shard_feature_bank",
+                                           False))
 
     def search(self):
         methods = {"train_sampled_fun": self.train_fn,
@@ -225,7 +227,9 @@ class NTUSearcher(ModelSearcher):
                 spec, extractor, backbone_tree, ("rgb", "ske"),
                 mesh=mesh, sequential_fallback=seq, input_prep=inputs_prep,
                 cache_features=getattr(args, "cache_features", False),
-                fused_epochs=not getattr(args, "no_fused_epochs", False))
+                fused_epochs=not getattr(args, "no_fused_epochs", False),
+                shard_feature_bank=getattr(args, "shard_feature_bank",
+                                           False))
 
     def search(self):
         surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)

@@ -220,7 +220,8 @@ class PopulationSearchTrainer:
     def __init__(self, spec: PopulationSpec, extractor_module,
                  backbone_tree, input_keys, seed=0, mesh=None,
                  sequential_fallback=None, input_prep=None,
-                 cache_features=False, fused_epochs=True):
+                 cache_features=False, fused_epochs=True,
+                 shard_feature_bank=False):
         self.spec = spec
         self.extractor_module = extractor_module
         self.input_keys = tuple(input_keys)
@@ -228,7 +229,7 @@ class PopulationSearchTrainer:
         self.trainer = PopulationTrainer(
             spec, extractor_module.apply, backbone_tree, mesh=mesh,
             input_prep=input_prep, cache_train_features=cache_features,
-            fused_epochs=fused_epochs)
+            fused_epochs=fused_epochs, shard_feature_bank=shard_feature_bank)
         self.sequential_fallback = sequential_fallback
 
     def __call__(self, sampled_configurations, searchable_type, dataloaders,

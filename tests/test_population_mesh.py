@@ -78,6 +78,51 @@ def test_fused_bank_training_matches_on_mesh():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_feature_bank_matches_replicated():
+    """--shard_feature_bank: bank feature rows sharded over the data axis
+    (each chip holds n/data rows — banks bigger than one chip's HBM) give
+    the identical training trajectory as the replicated bank; labels stay
+    replicated so the true sample count survives the padding."""
+    from mfas_tpu.core.sched import FixedScheduler
+
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(21)        # 21 rows: pads to 24 over data=4
+    confs = [np.array([[4, 2, 0]]), np.array([[0, 0, 1]]),
+             np.array([[2, 1, 0], [4, 2, 0]]), np.array([[1, 1, 1]])]
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("pop", "data"))
+
+    def run(shard):
+        loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+                   "dev": ArrayLoader(data, 8)}
+        sizes = {k: v.dataset_size for k, v in loaders.items()}
+        trainer = PopulationTrainer(spec, extractor.apply, btree, mesh=mesh,
+                                    cache_train_features=True,
+                                    fused_epochs=True,
+                                    shard_feature_bank=shard)
+        accs, params, _ = trainer.train_population(
+            confs, loaders, sizes, FixedScheduler(1e-3), num_epochs=2,
+            input_keys=("image", "audio"), seed=0)
+        return accs, jax.tree_util.tree_map(np.asarray, params), trainer
+
+    accs_r, params_r, _ = run(False)
+    accs_s, params_s, tr = run(True)
+
+    np.testing.assert_allclose(accs_s, accs_r, atol=1e-6)
+    for k in params_r:
+        np.testing.assert_allclose(params_s[k], params_r[k],
+                                   rtol=1e-4, atol=1e-5)
+
+    bank = tr._train_bank
+    assert int(bank["label"].shape[0]) == 21    # true n: index plans key off it
+    assert int(bank["fa"].shape[0]) == 24       # padded to divide data=4
+    # every chip holds exactly 1/data of the feature rows (replicated over pop)
+    assert {s.data.shape[0] for s in bank["fa"].addressable_shards} == {6}
+    # labels replicated: full copy everywhere
+    assert {s.data.shape[0] for s in bank["label"].addressable_shards} == {21}
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_real_ntu_extractor_population_training_matches_on_mesh():
