@@ -49,6 +49,10 @@ def parse_args():
     parser.add_argument('--no-verbose', dest='verbose', action='store_false',
                         default=True)
     parser.add_argument('--save_checkpoint', action='store_true', default=False)
+    parser.add_argument('--use_dataparallel', action='store_true',
+                        default=False,
+                        help='batch-shard over a mesh of all visible '
+                             'devices (the DataParallel equivalent)')
     return parser.parse_args()
 
 
@@ -76,7 +80,7 @@ def main():
     print(args)
 
     from mfas_tpu.core.sched import LRCosineAnnealingScheduler
-    from mfas_tpu.data.mm_imdb import MM_IMDB, MMIMDBLoader, samples_f1
+    from mfas_tpu.data.mm_imdb import MM_IMDB, MMIMDBLoader
     from mfas_tpu.engine.mmimdb import MMIMDBEngine
     from mfas_tpu.models.vgg import remap_torchvision_vgg_keys
     from mfas_tpu.runtime import checkpoint as ckpt
@@ -108,9 +112,13 @@ def main():
                                       shuffle=(stage == "train"))
         sizes[stage] = len(ds)
 
+    import jax
+    from mfas_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
+        else None
     engine = MMIMDBEngine(model, pos_weight=args.pos_weight,
                           th_fscore=args.th_fscore,
-                          stable_bce=args.stable_bce)
+                          stable_bce=args.stable_bce, mesh=mesh)
 
     start = time.time()
     if not args.test_cp:
@@ -124,20 +132,7 @@ def main():
         print('Best dev F1: {}'.format(best_f1))
 
     # test-set samples-F1
-    test_loaders = {"train": loaders["test"], "dev": loaders["test"]}
-    # evaluate by reusing the dev path of the engine on the test loader
-    from mfas_tpu.engine.classifier import split_tree
-    trainable, frozen = split_tree(model, tree, None)
-    preds_all, labels_all = [], []
-    for batch in loaders["test"]:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        step = engine._get_step("eval", batch["text"].shape[1])
-        pred = np.asarray(step(trainable, frozen, jb))
-        keep = batch["_mask"] > 0
-        preds_all.append(pred[keep])
-        labels_all.append(batch["label"][keep])
-    test_f1 = samples_f1(np.concatenate(labels_all) > 0.5,
-                         np.concatenate(preds_all))
+    test_f1 = engine.test_track_f1(tree, loaders["test"])
     elapsed = time.time() - start
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model F1: {}'.format(test_f1))

@@ -22,11 +22,12 @@ from mfas_tpu.core.module import Ctx, Rng, apply_updates, merge
 from mfas_tpu.core.optim import adam_init, adam_update
 from mfas_tpu.data.mm_imdb import samples_f1
 from mfas_tpu.engine.classifier import split_tree
+from mfas_tpu.parallel import mesh as pm
 
 
 class MMIMDBEngine:
     def __init__(self, model, pos_weight=2.0, weight_decay=1e-4,
-                 th_fscore=0.3, stable_bce=False):
+                 th_fscore=0.3, stable_bce=False, mesh=None):
         # stable_bce=True swaps in the exact logsumexp BCE (no overflow
         # NaNs); default False reproduces the reference loss bit-for-bit,
         # NaN failsafe and all
@@ -35,7 +36,22 @@ class MMIMDBEngine:
         self.pos_weight = pos_weight
         self.weight_decay = weight_decay
         self.th_fscore = th_fscore
+        # mesh: batches sharded over the 'data' axis, params replicated —
+        # XLA inserts the gradient all-reduce (the DataParallel equivalent,
+        # same contract as ClassifierEngine)
+        self.mesh = mesh
         self._steps = {}  # (train, text_len) -> jitted fn
+
+    def _place(self, batch):
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            jb = pm.shard_batch(jb, self.mesh)
+        return jb
+
+    def _replicated(self, *trees):
+        if self.mesh is None:
+            return trees
+        return tuple(pm.replicate_tree(t, self.mesh) for t in trees)
 
     def _forward(self, tree, ctx, batch):
         out = self.model.apply(tree, ctx, batch["text"], batch["image"])
@@ -88,6 +104,7 @@ class MMIMDBEngine:
                        dataset_sizes, scheduler, num_epochs, seed=0,
                        verbose=False, init_f1=0.0):
         trainable, frozen = split_tree(self.model, tree, trainable_prefixes)
+        trainable, frozen = self._replicated(trainable, frozen)
         opt_state = adam_init(trainable)
         rng = Rng(seed)
 
@@ -102,7 +119,7 @@ class MMIMDBEngine:
                     loss_terms = []
                     for batch in dataloaders[phase]:
                         n_valid = float(np.sum(batch["_mask"]))
-                        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                        jb = self._place(batch)
                         if phase == "train":
                             eta = scheduler.step()
                             step = self._get_step("train", batch["text"].shape[1])
@@ -144,3 +161,20 @@ class MMIMDBEngine:
         if math.isnan(best_f1):
             best_f1 = 0.0
         return best_f1, best
+
+    def test_track_f1(self, tree, dataloader):
+        """Samples-F1 over a loader with eval-mode predictions at
+        sigmoid > th_fscore — the test-set counterpart of train_track_f1's
+        dev phase (same mesh placement)."""
+        trainable, frozen = split_tree(self.model, tree, None)
+        trainable, frozen = self._replicated(trainable, frozen)
+        preds_all, labels_all = [], []
+        for batch in dataloader:
+            jb = self._place(batch)
+            step = self._get_step("eval", batch["text"].shape[1])
+            pred = np.asarray(step(trainable, frozen, jb))
+            keep = batch["_mask"] > 0
+            preds_all.append(pred[keep])
+            labels_all.append(np.asarray(batch["label"])[keep])
+        return samples_f1(np.concatenate(labels_all) > 0.5,
+                          np.concatenate(preds_all))

@@ -44,9 +44,15 @@ def test_main_found_avmnist_smoke(tmp_path, monkeypatch, capsys):
     assert "Model Acc:" in capsys.readouterr().out
 
 
-def test_main_found_mmimdb_smoke(tmp_path, monkeypatch, capsys):
+@pytest.mark.parametrize("extra", [(), ("--use_dataparallel",)],
+                         ids=["single", "dataparallel_mesh"])
+def test_main_found_mmimdb_smoke(tmp_path, monkeypatch, capsys, extra):
+    import jax
+
     import main_found_mmimdb as m
     from mfas_tpu.data.mm_imdb import make_synthetic_mmimdb
+    if extra and len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
     for stage, n in (("train", 16), ("dev", 8), ("test", 8)):
         make_synthetic_mmimdb(str(tmp_path / "data"), stage, n=n,
                               feat_dim=300, num_labels=23)
@@ -57,7 +63,7 @@ def test_main_found_mmimdb_smoke(tmp_path, monkeypatch, capsys):
         "--model", "simplevt", "--channels", "4", "--text_first_hidden", "8",
         "--batchsize", "8", "--epochs", "1",
         "--train_size", "16", "--dev_size", "8", "--test_size", "8",
-        "--no-verbose",
+        "--no-verbose", *extra,
     ])
     out = capsys.readouterr().out
     assert "Model F1:" in out
