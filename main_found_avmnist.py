@@ -42,6 +42,13 @@ def parse_args():
     parser.add_argument('--random_backbones', action='store_true', default=False)
     parser.add_argument('--save_checkpoint', action='store_true', default=False)
     parser.add_argument('--profile_dir', type=str, default='')
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
     return parser.parse_args()
 
 
@@ -61,6 +68,10 @@ def main():
     enable_persistent_compilation_cache()
     print("Training found AV-MNIST network")
     args = parse_args()
+    # multi-host init must precede the first jax device query (no-op
+    # without the --dist_* flags)
+    from mfas_tpu.parallel.mesh import initialize_from_args
+    initialize_from_args(args)
     print("The configuration of this run is:")
     print(args)
 
@@ -143,7 +154,7 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model Acc: {}'.format(test_acc))
 
-    if args.save_checkpoint:
+    if args.save_checkpoint and jax.process_index() == 0:
         confstr = re.sub(r"_\n ", "_",
                          np.array2string(configuration, separator='_'))
         filename = os.path.join(

@@ -37,6 +37,13 @@ def parse_args():
                         default='0,1,-2,-1;2,3,-2,0',
                         help="rows 'op1,op2,conn1,conn2' separated by ';'")
     parser.add_argument('--save_checkpoint', action='store_true', default=False)
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
     return parser.parse_args()
 
 
@@ -46,6 +53,10 @@ def main():
     enable_persistent_compilation_cache()
     print("Training found CIFAR micro-cell network")
     args = parse_args()
+    # multi-host init must precede the first jax device query (no-op
+    # without the --dist_* flags)
+    from mfas_tpu.parallel.mesh import initialize_from_args
+    initialize_from_args(args)
     print("The configuration of this run is:")
     print(args)
 
@@ -92,7 +103,7 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model Acc: {}'.format(test_acc))
 
-    if args.save_checkpoint:
+    if args.save_checkpoint and jax.process_index() == 0:
         import os
         filename = os.path.join(args.checkpointdir,
                                 f"cifar_micro_{test_acc:.4f}.checkpoint")

@@ -53,6 +53,13 @@ def parse_args():
                         default=False,
                         help='batch-shard over a mesh of all visible '
                              'devices (the DataParallel equivalent)')
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
     return parser.parse_args()
 
 
@@ -76,6 +83,10 @@ def main():
     enable_persistent_compilation_cache()
     print("Training MM-IMDB fusion network")
     args = parse_args()
+    # multi-host init must precede the first jax device query (no-op
+    # without the --dist_* flags)
+    from mfas_tpu.parallel.mesh import initialize_from_args
+    initialize_from_args(args)
     print("The configuration of this run is:")
     print(args)
 
@@ -137,7 +148,7 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model F1: {}'.format(test_f1))
 
-    if args.save_checkpoint:
+    if args.save_checkpoint and jax.process_index() == 0:
         filename = os.path.join(args.checkpointdir,
                                 f"mmimdb_{args.model}_{test_f1:.4f}.checkpoint")
         ckpt.save(ckpt.state_dict_from_tree(tree), filename)

@@ -101,6 +101,13 @@ def parse_args():
                         help='per-epoch resumable training state path')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from --train_state if present')
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
     return parser.parse_args()
 
 
@@ -217,6 +224,10 @@ def main():
     enable_persistent_compilation_cache()
     print("Training found NTU network")
     args = parse_args()
+    # multi-host init must precede the first jax device query (no-op
+    # without the --dist_* flags)
+    from mfas_tpu.parallel.mesh import initialize_from_args
+    initialize_from_args(args)
     print("The configuration of this run is:")
     print(args)
 
@@ -258,7 +269,7 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model Acc: {}'.format(modelacc))
 
-    if args.save_checkpoint:
+    if args.save_checkpoint and jax.process_index() == 0:
         confstr = np.array2string(configuration, precision=1, separator='_',
                                   suppress_small=True)
         confstr = re.sub(r"_\n ", "_", confstr)

@@ -46,6 +46,13 @@ def parse_args():
     parser.add_argument('--search_state', type=str, default='')
     parser.add_argument('--resume_search', action='store_true', default=False)
     parser.add_argument('--jsonl_log', type=str, default='')
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
     return parser.parse_args()
 
 
@@ -54,6 +61,10 @@ def main():
         enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
     args = parse_args()
+    # multi-host init must precede the first jax device query (no-op
+    # without the --dist_* flags)
+    from mfas_tpu.parallel.mesh import initialize_from_args
+    initialize_from_args(args)
 
     import numpy as np
     import jax

@@ -112,6 +112,14 @@ def parse_args():
                              'shard the bank rows over the data axis '
                              '(1/N per-chip HBM; batch-sized collective '
                              'per gather) instead of replicating it')
+    parser.add_argument('--bank_batch', type=int, default=None,
+                        help='target sample count for the eval-mode '
+                             'feature-extraction passes (feature bank '
+                             'build + dev features): consecutive loader '
+                             'batches are concatenated up to this size '
+                             'before the backbone forward (larger eval '
+                             'batches are faster on the MXU; features '
+                             'are identical). Try 32 on one v5e chip')
     parser.add_argument('--no_fused_epochs', action='store_true',
                         default=False,
                         help='debug escape hatch: with --cache_features, run '
@@ -126,6 +134,13 @@ def parse_args():
                              'and run the fused normalize on-device')
     parser.add_argument('--jsonl_log', type=str, default='',
                         help='append structured search telemetry here')
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
     return parser.parse_args()
 
 
@@ -134,6 +149,10 @@ def main():
         enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
     args = parse_args()
+    # multi-host init must precede the first jax device query (no-op
+    # without the --dist_* flags)
+    from mfas_tpu.parallel.mesh import initialize_from_args
+    initialize_from_args(args)
 
     import numpy as np
     import jax

@@ -77,9 +77,14 @@ def prefetch_to_device(iterator, size=2, sharding=None, place=None):
     if place is None:
         def place(batch):
             def put(x):
-                x = jnp.asarray(x)
-                return (jax.device_put(x, sharding)
-                        if sharding is not None else x)
+                if sharding is not None:
+                    # collective-free under multi-process meshes — a plain
+                    # device_put here would issue a process_allgather from
+                    # THIS producer thread and deadlock against the main
+                    # thread's step collectives (parallel/mesh.py)
+                    from mfas_tpu.parallel.mesh import device_put_global
+                    return device_put_global(x, sharding)
+                return jnp.asarray(x)
             return {k: put(v) for k, v in batch.items()}
 
     q: queue.Queue = queue.Queue(maxsize=max(1, size))

@@ -148,10 +148,12 @@ class ClassifierEngine:
 
     # ---------------- host loops
     def _place(self, batch):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
-            batch = pm.shard_batch(batch, self.mesh)
-        return batch
+            # host arrays straight to their shards (device_put_global);
+            # a jnp.asarray hop first would stage the full batch on one
+            # device before resharding
+            return pm.shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _prefetched(self, loader, size=2):
         """Yield (n_valid, device_batch) with collation + H2D running one

@@ -43,10 +43,11 @@ class MMIMDBEngine:
         self._steps = {}  # (train, text_len) -> jitted fn
 
     def _place(self, batch):
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
-            jb = pm.shard_batch(jb, self.mesh)
-        return jb
+            # host arrays straight to their shards (device_put_global,
+            # collective-free under multi-process meshes)
+            return pm.shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _replicated(self, *trees):
         if self.mesh is None:

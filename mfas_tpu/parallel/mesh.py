@@ -29,6 +29,21 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                                process_id=process_id)
 
 
+def initialize_from_args(args):
+    """CLI hook for the additive ``--dist_coordinator/--dist_num_processes/
+    --dist_process_id`` flags: call once at the top of main(), BEFORE the
+    first jax device query, one process per host. ``make_mesh()`` then
+    spans every process's devices, batches shard collective-free from
+    each host's (identical, seeded) loader stream via
+    ``device_put_global``, and XLA's gradient all-reduce rides DCN —
+    the cross-host story of SURVEY.md §5.8.
+    No-op without the flags. On a Cloud TPU pod slice the flags may be
+    omitted entirely (jax initializes multi-host automatically)."""
+    initialize_distributed(getattr(args, "dist_coordinator", None),
+                           getattr(args, "dist_num_processes", None),
+                           getattr(args, "dist_process_id", None))
+
+
 def make_mesh(n_devices=None, axis_names=("data",), shape=None, devices=None):
     """A 1-D data mesh by default; pass shape=(pop, data) for the population
     trainer's 2-D mesh."""
@@ -49,6 +64,36 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def device_put_global(x, sh):
+    """Collective-free placement of a host value onto a (possibly
+    multi-process) sharding.
+
+    ``jax.device_put`` of a host/local array onto a sharding that spans
+    non-addressable devices issues a hidden ``process_allgather``
+    (``multihost_utils.assert_equal``) to verify cross-process value
+    equality. That is (a) a full-batch DCN transfer per call and (b) a
+    COLLECTIVE: issued from the prefetch producer thread it interleaves
+    in a different order than the main thread's train-step collectives on
+    different processes and the job deadlocks (observed on the 2-process
+    found-AVMNIST CLI). Every process feeds the identical seeded loader
+    stream by construction, so the check is redundant —
+    ``make_array_from_callback`` builds each process's addressable shards
+    locally with zero communication instead. Single-process keeps the
+    plain ``device_put`` fast path (async H2D, donation)."""
+    if jax.process_count() == 1 or (
+            isinstance(x, jax.Array) and not x.is_fully_addressable):
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    if not jax.config.jax_enable_x64:   # device_put's dtype canonicalization
+        canon = {np.dtype(np.float64): np.float32,
+                 np.dtype(np.int64): np.int32,
+                 np.dtype(np.uint64): np.uint32,
+                 np.dtype(np.complex128): np.complex64}
+        if x.dtype in canon:
+            x = x.astype(canon[x.dtype])
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def shard_batch(batch, mesh, axis="data"):
     """Place each array of a (possibly nested) batch with its leading dim
     sharded over ``axis``. Batch sizes must divide the mesh axis size —
@@ -56,11 +101,11 @@ def shard_batch(batch, mesh, axis="data"):
     sh = batch_sharding(mesh, axis)
 
     def place(x):
-        return jax.device_put(x, sh)
+        return device_put_global(x, sh)
 
     return jax.tree_util.tree_map(place, batch)
 
 
 def replicate_tree(tree, mesh):
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: device_put_global(x, sh), tree)

@@ -327,7 +327,7 @@ class PopulationTrainer:
     def __init__(self, spec: PopulationSpec, feature_extractor,
                  backbone_tree, mesh=None, input_prep=None,
                  cache_train_features=False, fused_epochs=True,
-                 shard_feature_bank=False):
+                 shard_feature_bank=False, bank_batch=None):
         """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
         over 'pop' (communication-free) and batches over 'data'; a 1-D
         ('data',) mesh shards batches only. Under jit/GSPMD the program is
@@ -351,7 +351,16 @@ class PopulationTrainer:
         footprint scales 1/data with mesh size (banks bigger than one
         chip's HBM), at the cost of a batch-sized collective per gather.
         Numerically identical to the replicated bank (gathers are
-        index-exact); no-op without a data axis."""
+        index-exact); no-op without a data axis.
+
+        bank_batch: optional target batch for the eval-mode extraction
+        passes (bank build + dev features). Consecutive loader batches are
+        concatenated up to ~bank_batch samples before the backbone forward
+        and the outputs re-split, so downstream per-batch logic and the
+        bank layout are unchanged. Larger eval batches use the MXU better
+        (B32 measured ~+15% clips/s over B16 on one v5e chip for the NTU
+        extractor, docs/TPU_DESIGN.md §5.3); features are identical —
+        eval-mode forwards are per-sample deterministic."""
         self.spec = spec
         self.extractor = feature_extractor
         self.input_prep = input_prep
@@ -374,6 +383,7 @@ class PopulationTrainer:
 
         self.cache_train_features = bool(cache_train_features)
         self.shard_feature_bank = bool(shard_feature_bank)
+        self.bank_batch = int(bank_batch) if bank_batch else None
         self._train_bank = None
         self._train_bank_key = None
         self._bank_gather = jax.jit(
@@ -398,8 +408,11 @@ class PopulationTrainer:
         if self.mesh is None:
             return tree
         from jax.sharding import NamedSharding
+
+        from mfas_tpu.parallel.mesh import device_put_global
         sh = NamedSharding(self.mesh, spec_)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+        return jax.tree_util.tree_map(
+            lambda x: device_put_global(x, sh), tree)
 
     def _replicate(self, tree):
         from jax.sharding import PartitionSpec as P
@@ -413,11 +426,13 @@ class PopulationTrainer:
         sharded = NamedSharding(self.mesh, P(axis))
         repl = NamedSharding(self.mesh, P())
 
+        from mfas_tpu.parallel.mesh import device_put_global
+
         def place(x):
             # replicate anything whose leading dim doesn't divide the axis
             # (e.g. populations of 15 over 2 devices)
             ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
-            return jax.device_put(x, sharded if ok else repl)
+            return device_put_global(x, sharded if ok else repl)
 
         return jax.tree_util.tree_map(place, tree)
 
@@ -601,10 +616,16 @@ class PopulationTrainer:
         from mfas_tpu.data.loader import prefetch_to_device
 
         def place(batch):
-            inputs = tuple(self._shard_data(jnp.asarray(batch[k]))
+            # host arrays straight to their shards: _shard_data goes through
+            # device_put_global (collective-free under multi-process meshes,
+            # safe from this prefetch thread); jnp.asarray only when there is
+            # no mesh to shard over
+            def to_dev(x):
+                return jnp.asarray(x) if self.mesh is None else x
+            inputs = tuple(self._shard_data(to_dev(batch[k]))
                            for k in input_keys)
-            label = self._shard_data(jnp.asarray(batch[label_key]))
-            wmask = self._shard_data(jnp.asarray(batch["_mask"]))
+            label = self._shard_data(to_dev(batch[label_key]))
+            wmask = self._shard_data(to_dev(batch["_mask"]))
             return inputs, label, wmask
 
         return prefetch_to_device(loader, size=2, place=place)
@@ -623,6 +644,45 @@ class PopulationTrainer:
                 return None
         return tok
 
+    def _eval_feature_batches(self, loader, input_keys, label_key, rng):
+        """Eval-mode feature extraction over a loader, yielding
+        (fa, fb, lb, la, label, wmask) per LOADER batch. With bank_batch
+        set, consecutive loader batches are concatenated so the backbone
+        forward runs on ~bank_batch samples (better MXU utilization,
+        docs/TPU_DESIGN.md §5.3) and the outputs are re-split — callers
+        see the same per-batch stream either way, and eval-mode forwards
+        are per-sample deterministic so the features are identical."""
+        def extract(items):
+            if len(items) == 1:
+                inputs, label, wmask = items[0]
+                fa, fb, lb, la = self._features(self.backbone_tree, inputs,
+                                                rng.next(), train=False)
+                return [(fa, fb, lb, la, label, wmask)]
+            inputs = tuple(
+                self._shard_data(jnp.concatenate(
+                    [it[0][i] for it in items], axis=0))
+                for i in range(len(items[0][0])))
+            fa, fb, lb, la = self._features(self.backbone_tree, inputs,
+                                            rng.next(), train=False)
+            out, off = [], 0
+            for _, label, wmask in items:
+                sl = slice(off, off + int(label.shape[0]))
+                out.append((fa[sl], fb[sl], lb[sl], la[sl], label, wmask))
+                off = sl.stop
+            return out
+
+        group, buf = 1, []
+        for item in self._placed_batches(loader, input_keys, label_key):
+            if not buf and self.bank_batch:
+                # loader batches are uniform (final batch mask-padded)
+                group = max(1, self.bank_batch // int(item[1].shape[0]))
+            buf.append(item)
+            if len(buf) >= group:
+                yield from extract(buf)
+                buf = []
+        if buf:
+            yield from extract(buf)
+
     def _dev_batches(self, loader, input_keys, label_key, rng,
                      cache=True, max_cache_samples=50000):
         """Yield (fa, fb, lb, la, label, wmask) for the dev split, cached
@@ -635,11 +695,9 @@ class PopulationTrainer:
             return
         collected = []
         n = 0
-        for inputs, label, wmask in self._placed_batches(
-                loader, input_keys, label_key):
-            fa, fb, lb, la = self._features(self.backbone_tree, inputs,
-                                            rng.next(), train=False)
-            item = (fa, fb, lb, la, label, wmask)
+        for item in self._eval_feature_batches(
+                loader, input_keys, label_key, rng):
+            label = item[4]
             n += int(label.shape[0])
             if cache and n <= max_cache_samples:
                 collected.append(item)
@@ -660,10 +718,8 @@ class PopulationTrainer:
         store_dt = (jnp.dtype(self.spec.feature_dtype)
                     if self.spec.feature_dtype else jnp.float32)
         parts = {"fa": [], "fb": [], "lb": [], "la": [], "label": []}
-        for inputs, label, wmask in self._placed_batches(
-                loader, input_keys, label_key):
-            fa, fb, lb, la = self._features(self.backbone_tree, inputs,
-                                            rng.next(), train=False)
+        for fa, fb, lb, la, label, wmask in self._eval_feature_batches(
+                loader, input_keys, label_key, rng):
             n = int(np.asarray(jnp.sum(wmask)))
             parts["fa"].append(fa[:n].astype(store_dt))
             parts["fb"].append(fb[:n].astype(store_dt))
@@ -679,6 +735,8 @@ class PopulationTrainer:
         # the true sample count — the epoch index plans and ragged-batch
         # masks key off it — and only the (tiny) label gather is local.
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mfas_tpu.parallel.mesh import device_put_global
         nd = self.mesh.shape["data"]
         n = int(bank["label"].shape[0])
         pad = (-n) % nd   # pad rows are never gathered: take indices < n
@@ -687,12 +745,12 @@ class PopulationTrainer:
         out = {}
         for k, a in bank.items():
             if k == "label":
-                out[k] = jax.device_put(a, repl)
+                out[k] = device_put_global(a, repl)
                 continue
             if pad:
                 a = jnp.concatenate(
                     [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])], 0)
-            out[k] = jax.device_put(a, sharded)
+            out[k] = device_put_global(a, sharded)
         return out
 
     def _bank_batches(self, bank, batch_size, shuffle_rs):

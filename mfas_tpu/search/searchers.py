@@ -96,7 +96,8 @@ class AVMNISTSearcher(ModelSearcher):
                 cache_features=getattr(args, "cache_features", False),
                 fused_epochs=not getattr(args, "no_fused_epochs", False),
                 shard_feature_bank=getattr(args, "shard_feature_bank",
-                                           False))
+                                           False),
+                bank_batch=getattr(args, "bank_batch", None))
 
     def search(self):
         methods = {"train_sampled_fun": self.train_fn,
@@ -229,7 +230,8 @@ class NTUSearcher(ModelSearcher):
                 cache_features=getattr(args, "cache_features", False),
                 fused_epochs=not getattr(args, "no_fused_epochs", False),
                 shard_feature_bank=getattr(args, "shard_feature_bank",
-                                           False))
+                                           False),
+                bank_batch=getattr(args, "bank_batch", None))
 
     def search(self):
         surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)

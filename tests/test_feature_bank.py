@@ -162,6 +162,48 @@ def test_cache_features_flag_via_search_trainer():
     assert pop.trainer._train_bank is not None
 
 
+def test_bank_batch_grouped_extraction_identical():
+    """--bank_batch groups loader batches for the eval-mode backbone
+    forward (larger MXU batches); the bank and the dev feature stream must
+    be identical to the ungrouped path, including the ragged tail group."""
+    from mfas_tpu.core.module import Rng
+
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(21)             # 3 loader batches: group 2 + 1
+    keys = ("image", "audio")
+
+    banks, devs, calls = {}, {}, {}
+    for bb in (None, 16):
+        trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                    cache_train_features=True, bank_batch=bb)
+        n_calls = {"n": 0}
+        inner = trainer._features
+
+        def counting(*a, _inner=inner, _n=n_calls, **kw):
+            _n["n"] += 1
+            return _inner(*a, **kw)
+
+        trainer._features = counting
+        banks[bb] = trainer._build_train_bank(
+            ArrayLoader(data, 8), keys, "label", Rng(0))
+        devs[bb] = [tuple(np.asarray(x) for x in item)
+                    for item in trainer._dev_batches(
+                        ArrayLoader(data, 8), keys, "label", Rng(0))]
+        calls[bb] = n_calls["n"]
+
+    for k in banks[None]:
+        np.testing.assert_allclose(np.asarray(banks[16][k]),
+                                   np.asarray(banks[None][k]),
+                                   rtol=1e-5, atol=1e-6)
+    assert len(devs[16]) == len(devs[None]) == 3   # per-batch stream kept
+    for a, b in zip(devs[16], devs[None]):
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+    # 3 batches ungrouped = 3+3 calls; grouped = (2 groups)+(2 groups)
+    assert calls[None] == 6 and calls[16] == 4
+
+
 def test_bf16_feature_bank_trains():
     """--bf16_features + --cache_features (the recommended fast search
     config): the bank stores bfloat16, the fused scan casts gathers back

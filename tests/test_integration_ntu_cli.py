@@ -102,7 +102,7 @@ def test_main_found_ntu_use_dataparallel_mesh(tmp_path, monkeypatch, capsys):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "extra",
-    [(), ("--cache_features",),
+    [(), ("--cache_features", "--bank_batch", "6"),
      ("--cache_features", "--use_dataparallel", "--shard_feature_bank")],
     ids=["default", "cache_features", "sharded_bank_mesh"])
 def test_main_searchable_ntu_tiny_population_search(tmp_path, monkeypatch,

@@ -272,6 +272,70 @@ def test_two_process_dcn_population_step(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_cli_found_avmnist(tmp_path):
+    """The full found-arch CLI across two DCN processes (the additive
+    --dist_* flags, SURVEY.md §5.8): one process per 'host', a global
+    4-device data mesh, every process feeding the identical seeded loader
+    stream. Both processes must print the same test accuracy, and it must
+    match a single-process run of the same command."""
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, repo)
+    from mfas_tpu.data.avmnist import make_synthetic_avmnist
+    data = tmp_path / "data"
+    make_synthetic_avmnist(str(data), n_train=48, n_test=16)
+
+    def cli_args(extra):
+        return [sys.executable, os.path.join(repo, "main_found_avmnist.py"),
+                "--datadir", str(data), "--checkpointdir", str(tmp_path),
+                "--channels", "4", "--batchsize", "8", "--epochs", "1",
+                "--inner_representation_size", "8", "--random_backbones",
+                "--no-verbose", "--j", "2", "--use_dataparallel", *extra]
+
+    def env_for(pid, port, n_local_devices):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+        flags.append(
+            f"--xla_force_host_platform_device_count={n_local_devices}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        if pid is not None:
+            env["MFAS_PID"] = str(pid)
+        return env
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = [subprocess.Popen(
+        cli_args(["--dist_coordinator", f"127.0.0.1:{port}",
+                  "--dist_num_processes", "2", "--dist_process_id", str(pid)]),
+        env=env_for(pid, port, 2), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+
+    def acc_of(out):
+        line = [ln for ln in out.splitlines() if ln.startswith("Model Acc:")]
+        assert line, out
+        return float(line[0].split(":")[1])
+
+    acc0, acc1 = acc_of(outs[0]), acc_of(outs[1])
+    assert acc0 == acc1
+
+    single = subprocess.run(
+        cli_args([]), env=env_for(None, None, 4), capture_output=True,
+        text=True, timeout=600)
+    assert single.returncode == 0, single.stdout + single.stderr
+    np.testing.assert_allclose(acc0, acc_of(single.stdout), atol=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_dcn_engine_step(tmp_path):
     """One real engine train step across the 2-process mesh equals the
     single-process unsharded step (VERDICT r2 item 6)."""
