@@ -311,6 +311,7 @@ def bench_proxy(detail):
         "t_backbone_s": round(t_backbone, 4),
         "t_head_seq1_s": round(t_head_seq1, 4),
         "t_head_popK_s": round(t_head_popK, 4),
+        "search_speedup_proxy": round(speedup, 3),
         "found_train_clips_per_s": round(B / t_full, 2),
         "found_infer_clips_per_s": round(B / t_infer, 2),
     })
@@ -759,14 +760,20 @@ def main():
         except Exception as e:  # noqa: BLE001
             detail["bench_host_input_error"] = repr(e)
 
+    # headline: the measured END-TO-END search wall-clock speedup on the
+    # conservative (extrapolated-sequential) basis when the wall-clock
+    # section ran; the per-step proxy is the fallback for fast/CPU runs.
+    # Both bases and the fully-measured ratios live in the detail record.
+    headline = detail.get("search_wallclock_speedup", speedup)
+
     # full record -> sidecar file; printed line stays compact so the
     # driver's bounded tail-capture window always parses it (the round-2
     # record had parsed:null because the prose notes outgrew the window)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_detail.json"), "w") as f:
         json.dump({"metric": "mfas_search_speedup_vs_sequential_candidates",
-                   "value": round(speedup, 3), "unit": "x",
-                   "vs_baseline": round(speedup, 3),
+                   "value": round(headline, 3), "unit": "x",
+                   "vs_baseline": round(headline, 3),
                    "detail": detail}, f, indent=1)
 
     compact_keys = (
@@ -782,13 +789,13 @@ def main():
         "search_trend_candidates",
         "found_train_clips_per_s", "found_train_bf16_clips_per_s",
         "found_infer_clips_per_s", "mfu_estimate_bf16",
-        "e2e_train_clips_per_s", "h2d_gbps",
+        "e2e_train_clips_per_s", "h2d_gbps", "search_speedup_proxy",
     )
     print(json.dumps({
         "metric": "mfas_search_speedup_vs_sequential_candidates",
-        "value": round(speedup, 3),
+        "value": round(headline, 3),
         "unit": "x",
-        "vs_baseline": round(speedup, 3),
+        "vs_baseline": round(headline, 3),
         "detail_file": "bench_detail.json",
         "detail": {k: detail[k] for k in compact_keys if k in detail},
     }))
