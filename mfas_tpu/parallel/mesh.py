@@ -13,6 +13,10 @@ Multi-host (DCN) initialization goes through ``jax.distributed`` —
 
 from __future__ import annotations
 
+import itertools
+import os
+import threading
+
 import numpy as np
 
 import jax
@@ -23,6 +27,12 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """Multi-host DCN runtime init (no-op when unconfigured)."""
     if coordinator_address is None:
+        if num_processes is not None or process_id is not None:
+            # without the coordinator each process would silently run a
+            # standalone single-process job — wrong results, no error
+            raise ValueError(
+                "--dist_num_processes/--dist_process_id require "
+                "--dist_coordinator host:port (process 0's address)")
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
@@ -42,6 +52,15 @@ def initialize_from_args(args):
     initialize_distributed(getattr(args, "dist_coordinator", None),
                            getattr(args, "dist_num_processes", None),
                            getattr(args, "dist_process_id", None))
+
+
+def is_primary_process():
+    """True on the one process that should WRITE shared-filesystem
+    artifacts (checkpoints, search/train state, jsonl telemetry). Params
+    and search state are replicated across processes, so a single writer
+    loses nothing; concurrent writers to the same path would interleave
+    and corrupt the file (runtime/checkpoint.py writes in place)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(n_devices=None, axis_names=("data",), shape=None, devices=None):
@@ -79,11 +98,15 @@ def device_put_global(x, sh):
     stream by construction, so the check is redundant —
     ``make_array_from_callback`` builds each process's addressable shards
     locally with zero communication instead. Single-process keeps the
-    plain ``device_put`` fast path (async H2D, donation)."""
+    plain ``device_put`` fast path (async H2D, donation). Set
+    ``MFAS_VERIFY_GLOBAL_BATCHES=<dir>`` to re-establish the dropped
+    check offline via per-process checksum logs (see below)."""
     if jax.process_count() == 1 or (
             isinstance(x, jax.Array) and not x.is_fully_addressable):
         return jax.device_put(x, sh)
     x = np.asarray(x)
+    if _VERIFY_LOG:
+        _log_batch_checksum(x)
     if not jax.config.jax_enable_x64:   # device_put's dtype canonicalization
         canon = {np.dtype(np.float64): np.float32,
                  np.dtype(np.int64): np.int32,
@@ -92,6 +115,31 @@ def device_put_global(x, sh):
         if x.dtype in canon:
             x = x.astype(canon[x.dtype])
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+# MFAS_VERIFY_GLOBAL_BATCHES=<dir>: the collective equality check
+# device_put_global skips is replaced by an OFFLINE one — each process
+# appends (seq, shape, dtype, sha1) per placed array to
+# <dir>/batches.<process_index>.jsonl; diff the files to verify every
+# host really fed the identical stream. Checksumming stays local, so the
+# debug path cannot reintroduce the producer-thread collective deadlock.
+_VERIFY_LOG = os.environ.get("MFAS_VERIFY_GLOBAL_BATCHES", "")
+_verify_seq = itertools.count()
+_verify_lock = threading.Lock()
+
+
+def _log_batch_checksum(x):
+    import hashlib
+    import json
+    rec = {"seq": next(_verify_seq), "shape": list(x.shape),
+           "dtype": str(x.dtype),
+           "sha1": hashlib.sha1(np.ascontiguousarray(x).tobytes())
+           .hexdigest()}
+    path = os.path.join(_VERIFY_LOG,
+                        f"batches.{jax.process_index()}.jsonl")
+    with _verify_lock:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 def shard_batch(batch, mesh, axis="data"):

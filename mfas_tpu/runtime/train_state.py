@@ -41,6 +41,11 @@ def _unflat(flat, prefix, template):
 
 def save_train_state(path, *, tree, best_tree, opt_state, scheduler, epoch,
                      best_acc):
+    # multi-host: params/opt state are replicated, so only process 0
+    # writes — concurrent writers would interleave on a shared filesystem
+    from mfas_tpu.parallel.mesh import is_primary_process
+    if not is_primary_process():
+        return
     flat = {}
     flat.update(_flat(tree, "model"))
     flat.update(_flat(best_tree, "best"))

@@ -653,17 +653,22 @@ class PopulationTrainer:
         see the same per-batch stream either way, and eval-mode forwards
         are per-sample deterministic so the features are identical."""
         def extract(items):
+            # one rng draw per LOADER batch whatever the grouping, so the
+            # shared stream (and every later train-step dropout key) is
+            # identical with and without bank_batch; eval-mode forwards
+            # never consume the key's value, only the draw count matters
+            keys = [rng.next() for _ in items]
             if len(items) == 1:
                 inputs, label, wmask = items[0]
                 fa, fb, lb, la = self._features(self.backbone_tree, inputs,
-                                                rng.next(), train=False)
+                                                keys[0], train=False)
                 return [(fa, fb, lb, la, label, wmask)]
             inputs = tuple(
                 self._shard_data(jnp.concatenate(
                     [it[0][i] for it in items], axis=0))
                 for i in range(len(items[0][0])))
             fa, fb, lb, la = self._features(self.backbone_tree, inputs,
-                                            rng.next(), train=False)
+                                            keys[0], train=False)
             out, off = [], 0
             for _, label, wmask in items:
                 sl = slice(off, off + int(label.shape[0]))

@@ -22,6 +22,11 @@ import mfas_tpu.search.tools as tools
 from mfas_tpu.search.surrogate import SimpleRecurrentSurrogate, SurrogateDataloader
 
 
+def _primary_process():
+    import jax
+    return jax.process_index() == 0
+
+
 class ModelSearcher:
     def __init__(self, args, jsonl_log=None):
         self.args = args
@@ -32,7 +37,7 @@ class ModelSearcher:
 
     # ----- telemetry (additive, SURVEY §5.5)
     def _log_event(self, **event):
-        if self._jsonl:
+        if self._jsonl and _primary_process():
             with open(self._jsonl, "a") as f:
                 f.write(json.dumps(event, default=_np_default) + "\n")
 
@@ -40,7 +45,9 @@ class ModelSearcher:
     def _save_state(self, path, s_data, temperature, si, progression_index,
                     sampled_k_confs, surrogate, shared_weights=None,
                     trainer=None):
-        if not path:
+        # multi-host: search state is identical on every process (same
+        # seeded trajectory) — one writer, no interleaved corruption
+        if not path or not _primary_process():
             return
         state = {
             "surrogate_data": s_data.state(),

@@ -148,6 +148,19 @@ def _spawn_two(child_src):
     return outs
 
 
+def test_partial_dist_flags_rejected():
+    """--dist_num_processes/--dist_process_id without --dist_coordinator
+    must raise instead of silently running N standalone jobs."""
+    from mfas_tpu.parallel.mesh import initialize_from_args
+
+    args = types.SimpleNamespace(dist_coordinator=None,
+                                 dist_num_processes=2, dist_process_id=0)
+    with pytest.raises(ValueError, match="dist_coordinator"):
+        initialize_from_args(args)
+    # and stays a clean no-op when nothing is configured
+    initialize_from_args(types.SimpleNamespace())
+
+
 @pytest.mark.slow
 def test_two_process_dcn_collective(tmp_path):
     outs = _spawn_two(_CHILD)
@@ -293,7 +306,9 @@ def test_two_process_cli_found_avmnist(tmp_path):
                 "--inner_representation_size", "8", "--random_backbones",
                 "--no-verbose", "--j", "2", "--use_dataparallel", *extra]
 
-    def env_for(pid, port, n_local_devices):
+    def env_for(n_local_devices):
+        # the CLI children take coordinator/process id from the --dist_*
+        # flags, not env
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         flags = [f for f in env.get("XLA_FLAGS", "").split()
@@ -301,8 +316,6 @@ def test_two_process_cli_found_avmnist(tmp_path):
         flags.append(
             f"--xla_force_host_platform_device_count={n_local_devices}")
         env["XLA_FLAGS"] = " ".join(flags)
-        if pid is not None:
-            env["MFAS_PID"] = str(pid)
         return env
 
     with socket.socket() as s:
@@ -311,7 +324,7 @@ def test_two_process_cli_found_avmnist(tmp_path):
     procs = [subprocess.Popen(
         cli_args(["--dist_coordinator", f"127.0.0.1:{port}",
                   "--dist_num_processes", "2", "--dist_process_id", str(pid)]),
-        env=env_for(pid, port, 2), stdout=subprocess.PIPE,
+        env=env_for(2), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for pid in range(2)]
     outs = []
     for p in procs:
@@ -329,7 +342,7 @@ def test_two_process_cli_found_avmnist(tmp_path):
     assert acc0 == acc1
 
     single = subprocess.run(
-        cli_args([]), env=env_for(None, None, 4), capture_output=True,
+        cli_args([]), env=env_for(4), capture_output=True,
         text=True, timeout=600)
     assert single.returncode == 0, single.stdout + single.stderr
     np.testing.assert_allclose(acc0, acc_of(single.stdout), atol=1e-6)
