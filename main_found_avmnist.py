@@ -154,7 +154,8 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model Acc: {}'.format(test_acc))
 
-    if args.save_checkpoint and jax.process_index() == 0:
+    from mfas_tpu.parallel import mesh as pm
+    if args.save_checkpoint and pm.is_primary_process():
         confstr = re.sub(r"_\n ", "_",
                          np.array2string(configuration, separator='_'))
         filename = os.path.join(

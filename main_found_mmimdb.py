@@ -148,7 +148,8 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model F1: {}'.format(test_f1))
 
-    if args.save_checkpoint and jax.process_index() == 0:
+    from mfas_tpu.parallel import mesh as pm
+    if args.save_checkpoint and pm.is_primary_process():
         filename = os.path.join(args.checkpointdir,
                                 f"mmimdb_{args.model}_{test_f1:.4f}.checkpoint")
         ckpt.save(ckpt.state_dict_from_tree(tree), filename)

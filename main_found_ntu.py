@@ -269,7 +269,8 @@ def main():
     print('Training in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
     print('Model Acc: {}'.format(modelacc))
 
-    if args.save_checkpoint and jax.process_index() == 0:
+    from mfas_tpu.parallel import mesh as pm
+    if args.save_checkpoint and pm.is_primary_process():
         confstr = np.array2string(configuration, precision=1, separator='_',
                                   suppress_small=True)
         confstr = re.sub(r"_\n ", "_", confstr)

@@ -233,7 +233,7 @@ class ClassifierEngine:
                 if print_loss:
                     print("{} Loss: {:.4f} Acc: {:.4f}".format(
                         phase, epoch_loss, epoch_acc))
-                if jsonl_log and jax.process_index() == 0:
+                if jsonl_log and pm.is_primary_process():
                     import json
                     with open(jsonl_log, "a") as f:
                         f.write(json.dumps({

@@ -97,8 +97,19 @@ class MMIMDBEngine:
                     "programs; pass bucket_text=True to MMIMDBLoader (the "
                     "default) to bound text lengths to pow-2 buckets",
                     RuntimeWarning, stacklevel=2)
-            fn = self._train_step_impl if kind == "train" else self._eval_step_impl
-            self._steps[key] = jax.jit(fn)
+            if kind == "train":
+                self._steps[key] = jax.jit(self._train_step_impl)
+            elif self.mesh is not None:
+                # predictions are fetched per-sample on the host for the
+                # F1 below; under a multi-process mesh the raw output is
+                # sharded across non-addressable devices, which
+                # np.asarray cannot fetch — land it replicated (one
+                # all-gather of a (B, labels) bool array)
+                self._steps[key] = jax.jit(
+                    self._eval_step_impl,
+                    out_shardings=pm.replicated(self.mesh))
+            else:
+                self._steps[key] = jax.jit(self._eval_step_impl)
         return self._steps[key]
 
     def train_track_f1(self, tree, trainable_prefixes, dataloaders,

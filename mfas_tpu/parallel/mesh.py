@@ -138,6 +138,7 @@ def _log_batch_checksum(x):
     path = os.path.join(_VERIFY_LOG,
                         f"batches.{jax.process_index()}.jsonl")
     with _verify_lock:
+        os.makedirs(_VERIFY_LOG, exist_ok=True)
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 

@@ -23,8 +23,8 @@ from mfas_tpu.search.surrogate import SimpleRecurrentSurrogate, SurrogateDataloa
 
 
 def _primary_process():
-    import jax
-    return jax.process_index() == 0
+    from mfas_tpu.parallel.mesh import is_primary_process
+    return is_primary_process()
 
 
 class ModelSearcher:

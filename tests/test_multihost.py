@@ -118,7 +118,7 @@ def _tiny_engine_setup():
     return engine, trainable, frozen, opt, batch
 
 
-def _spawn_two(child_src):
+def _spawn_two(child_src, extra_env=None):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -135,6 +135,7 @@ def _spawn_two(child_src):
         env["MFAS_PID"] = str(pid)
         env["MFAS_REPO"] = os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
             [sys.executable, "-c", child_src], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
@@ -346,6 +347,68 @@ def test_two_process_cli_found_avmnist(tmp_path):
         text=True, timeout=600)
     assert single.returncode == 0, single.stdout + single.stderr
     np.testing.assert_allclose(acc0, acc_of(single.stdout), atol=1e-6)
+
+
+# MM-IMDB eval over the 2-process mesh: the per-sample prediction fetch
+# must land replicated (engine/mmimdb.py _get_step) — a raw sharded
+# output spans non-addressable devices and np.asarray would raise
+_CHILD_MMIMDB = r"""
+import os, sys, types
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.environ["MFAS_REPO"])
+from mfas_tpu.parallel import mesh as pm
+
+pid = int(os.environ["MFAS_PID"])
+pm.initialize_distributed(os.environ["MFAS_COORD"], num_processes=2,
+                          process_id=pid)
+mesh = pm.make_mesh()
+assert jax.process_count() == 2
+
+sys.path.insert(0, os.environ["MFAS_REPO"] + "/tests")
+from test_multihost import _tiny_mmimdb_setup
+engine, tree, loader = _tiny_mmimdb_setup(os.environ["MFAS_DATA"], mesh)
+f1 = engine.test_track_f1(tree, loader)
+print(f"proc {pid}: mmimdb f1 {f1:.8f}", flush=True)
+"""
+
+
+def _tiny_mmimdb_setup(datadir, mesh):
+    """Tiny SimpleVTNet + test loader over pre-made synthetic MM-IMDB
+    data; deterministic (seeded init, eval-mode forward only)."""
+    from mfas_tpu.data.mm_imdb import MM_IMDB, MMIMDBLoader
+    from mfas_tpu.engine.mmimdb import MMIMDBEngine
+    from mfas_tpu.models import mm_imdb as M
+
+    args = types.SimpleNamespace(num_outputs=5, channels=4)
+    model = M.SimpleVTNet(args, 8, 3)
+    tree = model.init(0)
+    ds = MM_IMDB(datadir, stage="test", feat_dim=300, average_text=True,
+                 len_data=8)
+    loader = MMIMDBLoader(ds, 8, shuffle=False, seed=0)
+    return MMIMDBEngine(model, mesh=mesh), tree, loader
+
+
+@pytest.mark.slow
+def test_two_process_dcn_mmimdb_eval(tmp_path):
+    """MM-IMDB test-set eval across the 2-process mesh equals the
+    single-process run — pins the replicated-output eval fetch."""
+    from mfas_tpu.data.mm_imdb import make_synthetic_mmimdb
+
+    data = str(tmp_path / "data")
+    make_synthetic_mmimdb(data, "test", n=8, feat_dim=300, num_labels=5)
+
+    engine, tree, loader = _tiny_mmimdb_setup(data, None)
+    want = engine.test_track_f1(tree, loader)
+
+    outs = _spawn_two(_CHILD_MMIMDB, extra_env={"MFAS_DATA": data})
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines()
+                if ln.startswith(f"proc {pid}: mmimdb f1 ")]
+        assert line, f"proc {pid} printed no f1:\n{out}"
+        got = float(line[0].rsplit(" ", 1)[1])
+        np.testing.assert_allclose(got, want, atol=1e-8)
 
 
 @pytest.mark.slow
