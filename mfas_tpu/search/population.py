@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import itertools
 import math
-from dataclasses import dataclass
+from dataclasses import astuple, dataclass
 
 import numpy as np
 
@@ -314,133 +314,44 @@ def _candidate_forward(spec, params_c, bn_c, conf_c, feats_a, feats_b,
 
 
 # --------------------------------------------------------------------------
-# trainer
+# compiled programs + process-level program cache
 # --------------------------------------------------------------------------
-class PopulationTrainer:
-    """Trains a whole population of fusion heads in one compiled step.
+class _PopulationPrograms:
+    """The traced/compiled programs of a population trainer.
 
-    feature_fn(backbone_tree, inputs, rng, train) must return
-      (taps_a list, taps_b list, logits_b, logits_a)
-    with every tap already globally pooled to (B, C_i).
+    Holds ONLY structural config (spec, mesh, extractor / input_prep
+    callables) — never device arrays: all weights and optimizer/BN state
+    enter the jitted functions as arguments. That invariant is what makes
+    the process-level cache below safe (and leak-free): two trainers whose
+    construction key matches share one program set, and therefore jax's
+    in-process executable cache. Without sharing, every fresh searcher in
+    a warm process re-enters compilation for ~6-8 programs — through the
+    remote-TPU persistent compile cache that is ~2 s of executable
+    deserialization per program, ~20 s per search (measured round 3:
+    fresh cached search 22 s vs 1.4 s resident; the gap is exactly these
+    re-retrievals plus retracing).
     """
 
-    def __init__(self, spec: PopulationSpec, feature_extractor,
-                 backbone_tree, mesh=None, input_prep=None,
-                 cache_train_features=False, fused_epochs=True,
-                 shard_feature_bank=False, bank_batch=None):
-        """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
-        over 'pop' (communication-free) and batches over 'data'; a 1-D
-        ('data',) mesh shards batches only. Under jit/GSPMD the program is
-        written once — XLA inserts the batch-axis reductions.
-
-        input_prep: optional traced transform of the inputs tuple run
-        in-graph before the extractor (e.g. the fused uint8 -> normalized
-        float kernel for packed device_normalize batches).
-
-        cache_train_features: opt-in HBM-resident feature bank (SURVEY.md
-        §7.2.6). Train-split features are extracted ONCE (eval-mode
-        backbone, so deterministic) into per-sample device arrays; every
-        later epoch of every candidate population gathers shuffled batches
-        straight from the bank — zero backbone forwards after the first
-        pass. Approximation vs the faithful path (documented, default off):
-        the augmentation draw and backbone BN batch-statistics are frozen
-        at bank-build time.
-
-        shard_feature_bank: with a 'data' mesh axis, store the bank's
-        feature rows sharded over it instead of replicated — per-chip HBM
-        footprint scales 1/data with mesh size (banks bigger than one
-        chip's HBM), at the cost of a batch-sized collective per gather.
-        Numerically identical to the replicated bank (gathers are
-        index-exact); no-op without a data axis.
-
-        bank_batch: optional target batch for the eval-mode extraction
-        passes (bank build + dev features). Consecutive loader batches are
-        concatenated up to ~bank_batch samples before the backbone forward
-        and the outputs re-split, so downstream per-batch logic and the
-        bank layout are unchanged. Larger eval batches use the MXU better
-        (B32 measured ~+15% clips/s over B16 on one v5e chip for the NTU
-        extractor, docs/TPU_DESIGN.md §5.3); features are identical —
-        eval-mode forwards are per-sample deterministic."""
+    def __init__(self, spec, extractor, input_prep, mesh):
         self.spec = spec
-        self.extractor = feature_extractor
+        self.extractor = extractor
         self.input_prep = input_prep
         self.mesh = mesh
-        self._pop_sharded = mesh is not None and "pop" in mesh.axis_names
         self._data_sharded = mesh is not None and "data" in mesh.axis_names
-        self.backbone_tree = self._replicate(backbone_tree)
-
-        self._features = jax.jit(self._features_impl, static_argnames=("train",))
-        self._train_step = jax.jit(self._train_step_impl)
-        self._eval_step = jax.jit(self._eval_step_impl)
-
-        # dev-split features are deterministic (eval-mode backbone with
-        # checkpoint stats, deterministic transforms), so they are computed
-        # once per search and reused across every epoch of every candidate
-        # population — the sequential reference recomputes them ~600 times
-        # (197 candidates x 3 epochs)
-        self._dev_cache = None
-        self._dev_cache_key = None
-
-        self.cache_train_features = bool(cache_train_features)
-        self.shard_feature_bank = bool(shard_feature_bank)
-        self.bank_batch = int(bank_batch) if bank_batch else None
-        self._train_bank = None
-        self._train_bank_key = None
-        self._bank_gather = jax.jit(
+        self.features = jax.jit(self._features_impl,
+                                static_argnames=("train",))
+        self.train_step = jax.jit(self._train_step_impl)
+        self.eval_step = jax.jit(self._eval_step_impl)
+        self.bank_gather = jax.jit(
             lambda bank, idx: jax.tree_util.tree_map(
                 lambda a: jnp.take(a, idx, axis=0), bank))
-
         # fused-epoch scan (active only with the feature bank): the whole
         # epoch — every gather + train step + LR value — is ONE compiled
         # program (lax.scan over steps). On dispatch-bound deployments
         # (remote tunnel ~7 ms/call) this collapses ~2 dispatches/batch
         # into ~2/epoch; on local hosts it removes the host loop entirely.
-        self.fused_epochs = bool(fused_epochs)
-        self._dev_bank = None
-        self._dev_bank_key = None
-        # same ceiling as _dev_batches' max_cache_samples
-        self.MAX_DEV_BANK = 50000
-        self._train_epoch = jax.jit(self._train_epoch_impl)
-        self._eval_epoch = jax.jit(self._eval_epoch_impl)
-
-    # ----- sharding helpers
-    def _put(self, tree, spec_):
-        if self.mesh is None:
-            return tree
-        from jax.sharding import NamedSharding
-
-        from mfas_tpu.parallel.mesh import device_put_global
-        sh = NamedSharding(self.mesh, spec_)
-        return jax.tree_util.tree_map(
-            lambda x: device_put_global(x, sh), tree)
-
-    def _replicate(self, tree):
-        from jax.sharding import PartitionSpec as P
-        return self._put(tree, P())
-
-    def _shard_leading(self, tree, axis, enabled):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        if self.mesh is None or not enabled:
-            return tree
-        n = self.mesh.shape[axis]
-        sharded = NamedSharding(self.mesh, P(axis))
-        repl = NamedSharding(self.mesh, P())
-
-        from mfas_tpu.parallel.mesh import device_put_global
-
-        def place(x):
-            # replicate anything whose leading dim doesn't divide the axis
-            # (e.g. populations of 15 over 2 devices)
-            ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
-            return device_put_global(x, sharded if ok else repl)
-
-        return jax.tree_util.tree_map(place, tree)
-
-    def _shard_pop(self, tree):
-        return self._shard_leading(tree, "pop", self._pop_sharded)
-
-    def _shard_data(self, tree):
-        return self._shard_leading(tree, "data", self._data_sharded)
+        self.train_epoch = jax.jit(self._train_epoch_impl)
+        self.eval_epoch = jax.jit(self._eval_epoch_impl)
 
     # ----- backbone feature cache (shared across all candidates)
     def _features_impl(self, backbone_tree, inputs, rng, train):
@@ -576,6 +487,159 @@ class PopulationTrainer:
         corr, _ = jax.lax.scan(body, jnp.zeros((P_,), jnp.float32),
                                (take, wmask))
         return corr
+
+
+_PROGRAM_CACHE: dict = {}
+
+
+def population_programs(spec, extractor, input_prep, mesh,
+                        program_key=None):
+    """Program host for (spec, extractor, input_prep, mesh).
+
+    ``program_key=None`` -> a private, uncached program set (always
+    safe). Otherwise it must be a hashable token that uniquely
+    determines the COMPUTATION of ``extractor`` and ``input_prep`` (the
+    searchers derive it from every args field those closures read, e.g.
+    ``("ntu", vid_len, num_outputs, resnet3d knobs, drpt, dev_norm)``);
+    trainers constructed with an equal (program_key, spec, mesh) triple
+    then share one compiled-program set, so fresh searchers in a warm
+    process skip retracing and executable-cache retrieval entirely.
+    """
+    if program_key is None:
+        return _PopulationPrograms(spec, extractor, input_prep, mesh)
+    key = (program_key, astuple(spec), mesh)
+    progs = _PROGRAM_CACHE.get(key)
+    if progs is None:
+        progs = _PROGRAM_CACHE[key] = _PopulationPrograms(
+            spec, extractor, input_prep, mesh)
+    return progs
+
+
+# --------------------------------------------------------------------------
+# trainer
+# --------------------------------------------------------------------------
+class PopulationTrainer:
+    """Trains a whole population of fusion heads in one compiled step.
+
+    feature_fn(backbone_tree, inputs, rng, train) must return
+      (taps_a list, taps_b list, logits_b, logits_a)
+    with every tap already globally pooled to (B, C_i).
+    """
+
+    def __init__(self, spec: PopulationSpec, feature_extractor,
+                 backbone_tree, mesh=None, input_prep=None,
+                 cache_train_features=False, fused_epochs=True,
+                 shard_feature_bank=False, bank_batch=None,
+                 program_key=None):
+        """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
+        over 'pop' (communication-free) and batches over 'data'; a 1-D
+        ('data',) mesh shards batches only. Under jit/GSPMD the program is
+        written once — XLA inserts the batch-axis reductions.
+
+        input_prep: optional traced transform of the inputs tuple run
+        in-graph before the extractor (e.g. the fused uint8 -> normalized
+        float kernel for packed device_normalize batches).
+
+        cache_train_features: opt-in HBM-resident feature bank (SURVEY.md
+        §7.2.6). Train-split features are extracted ONCE (eval-mode
+        backbone, so deterministic) into per-sample device arrays; every
+        later epoch of every candidate population gathers shuffled batches
+        straight from the bank — zero backbone forwards after the first
+        pass. Approximation vs the faithful path (documented, default off):
+        the augmentation draw and backbone BN batch-statistics are frozen
+        at bank-build time.
+
+        shard_feature_bank: with a 'data' mesh axis, store the bank's
+        feature rows sharded over it instead of replicated — per-chip HBM
+        footprint scales 1/data with mesh size (banks bigger than one
+        chip's HBM), at the cost of a batch-sized collective per gather.
+        Numerically identical to the replicated bank (gathers are
+        index-exact); no-op without a data axis.
+
+        bank_batch: optional target batch for the eval-mode extraction
+        passes (bank build + dev features). Consecutive loader batches are
+        concatenated up to ~bank_batch samples before the backbone forward
+        and the outputs re-split, so downstream per-batch logic and the
+        bank layout are unchanged. Larger eval batches use the MXU better
+        (B32 measured ~+15% clips/s over B16 on one v5e chip for the NTU
+        extractor, docs/TPU_DESIGN.md §5.3); features are identical —
+        eval-mode forwards are per-sample deterministic."""
+        self.spec = spec
+        self.extractor = feature_extractor
+        self.input_prep = input_prep
+        self.mesh = mesh
+        self._pop_sharded = mesh is not None and "pop" in mesh.axis_names
+        self._data_sharded = mesh is not None and "data" in mesh.axis_names
+        self.backbone_tree = self._replicate(backbone_tree)
+
+        # traced programs, shared process-wide when program_key is given
+        # (see population_programs; weights/state always enter as args)
+        progs = population_programs(spec, feature_extractor, input_prep,
+                                    mesh, program_key)
+        self._features = progs.features
+        self._train_step = progs.train_step
+        self._eval_step = progs.eval_step
+        self._bank_gather = progs.bank_gather
+        self._train_epoch = progs.train_epoch
+        self._eval_epoch = progs.eval_epoch
+
+        # dev-split features are deterministic (eval-mode backbone with
+        # checkpoint stats, deterministic transforms), so they are computed
+        # once per search and reused across every epoch of every candidate
+        # population — the sequential reference recomputes them ~600 times
+        # (197 candidates x 3 epochs)
+        self._dev_cache = None
+        self._dev_cache_key = None
+
+        self.cache_train_features = bool(cache_train_features)
+        self.shard_feature_bank = bool(shard_feature_bank)
+        self.bank_batch = int(bank_batch) if bank_batch else None
+        self._train_bank = None
+        self._train_bank_key = None
+        self.fused_epochs = bool(fused_epochs)
+        self._dev_bank = None
+        self._dev_bank_key = None
+        # same ceiling as _dev_batches' max_cache_samples
+        self.MAX_DEV_BANK = 50000
+
+    # ----- sharding helpers
+    def _put(self, tree, spec_):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding
+
+        from mfas_tpu.parallel.mesh import device_put_global
+        sh = NamedSharding(self.mesh, spec_)
+        return jax.tree_util.tree_map(
+            lambda x: device_put_global(x, sh), tree)
+
+    def _replicate(self, tree):
+        from jax.sharding import PartitionSpec as P
+        return self._put(tree, P())
+
+    def _shard_leading(self, tree, axis, enabled):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None or not enabled:
+            return tree
+        n = self.mesh.shape[axis]
+        sharded = NamedSharding(self.mesh, P(axis))
+        repl = NamedSharding(self.mesh, P())
+
+        from mfas_tpu.parallel.mesh import device_put_global
+
+        def place(x):
+            # replicate anything whose leading dim doesn't divide the axis
+            # (e.g. populations of 15 over 2 devices)
+            ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+            return device_put_global(x, sharded if ok else repl)
+
+        return jax.tree_util.tree_map(place, tree)
+
+    def _shard_pop(self, tree):
+        return self._shard_leading(tree, "pop", self._pop_sharded)
+
+    def _shard_data(self, tree):
+        return self._shard_leading(tree, "data", self._data_sharded)
 
     @staticmethod
     def _epoch_index_plan(n, batch_size, rs=None):

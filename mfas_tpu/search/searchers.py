@@ -90,6 +90,10 @@ class AVMNISTSearcher(ModelSearcher):
         if getattr(args, "sequential_candidates", False):
             self.train_fn = seq
         else:
+            # program_key: every args field the extractor graph reads
+            # (GP_LeNet/GP_LeNet_Deeper: channels, num_outputs) — equal
+            # keys let fresh searchers reuse this process's compiled
+            # programs (population.population_programs)
             self.train_fn = PopulationSearchTrainer(
                 spec, extractor, backbone_tree, ("image", "audio"),
                 mesh=mesh, sequential_fallback=seq,
@@ -97,7 +101,9 @@ class AVMNISTSearcher(ModelSearcher):
                 fused_epochs=not getattr(args, "no_fused_epochs", False),
                 shard_feature_bank=getattr(args, "shard_feature_bank",
                                            False),
-                bank_batch=getattr(args, "bank_batch", None))
+                bank_batch=getattr(args, "bank_batch", None),
+                program_key=("avmnist", int(args.channels),
+                             int(args.num_outputs)))
 
     def search(self):
         methods = {"train_sampled_fun": self.train_fn,
@@ -224,6 +230,11 @@ class NTUSearcher(ModelSearcher):
         if getattr(args, "sequential_candidates", False):
             self.train_fn = seq
         else:
+            # program_key: every args field the extractor/input_prep
+            # graphs read (Visual: vid_len[0], num_outputs, resnet3d
+            # shrink knobs; Skeleton: vid_len[1], drpt, num_outputs;
+            # prep: dev_norm) — equal keys let fresh searchers reuse
+            # this process's compiled programs
             self.train_fn = PopulationSearchTrainer(
                 spec, extractor, backbone_tree, ("rgb", "ske"),
                 mesh=mesh, sequential_fallback=seq, input_prep=inputs_prep,
@@ -231,7 +242,13 @@ class NTUSearcher(ModelSearcher):
                 fused_epochs=not getattr(args, "no_fused_epochs", False),
                 shard_feature_bank=getattr(args, "shard_feature_bank",
                                            False),
-                bank_batch=getattr(args, "bank_batch", None))
+                bank_batch=getattr(args, "bank_batch", None),
+                program_key=(
+                    "ntu", tuple(args.vid_len), int(args.num_outputs),
+                    float(args.drpt),
+                    tuple(getattr(args, "resnet3d_layers", (3, 4, 6, 3))),
+                    int(getattr(args, "resnet3d_base_width", 64)),
+                    dev_norm))
 
     def search(self):
         surrogate = SimpleRecurrentSurrogate(100, 3, 100, max_seq_len=self.args.max_progression_levels)

@@ -66,20 +66,77 @@ def _bucket(n):
     return b
 
 
+class _SurrogatePrograms:
+    """Traced programs of a surrogate net shape — holds only the
+    (weightless) net structure; params/opt state enter as arguments.
+    Cached process-wide so every search()'s fresh surrogate reuses the
+    compiled predict/fit programs (same rationale as
+    population.population_programs)."""
+
+    def __init__(self, net):
+        self.net = net
+        self.predict = jax.jit(
+            lambda params, seq, lengths: net.apply(params, Ctx(), seq,
+                                                   lengths))
+        self.fit_scan = jax.jit(self._fit_scan_impl,
+                                static_argnames=("num_epochs",))
+
+    def _step_impl(self, params, opt_state, seq, lengths, target, mask, lr):
+        def loss_fn(p):
+            pred = self.net.apply(p, Ctx(), seq, lengths)
+            sq = jnp.square(pred - target)[:, 0] * mask
+            return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = adam_update(params, grads, opt_state, lr)
+        return params, opt_state, loss
+
+    def _fit_scan_impl(self, params, opt_state, seqs, lengths, tgts, masks,
+                       lr, num_epochs):
+        """All `num_epochs` x groups full-batch steps as ONE lax.scan
+        program (epoch-major, group order preserved — the exact update
+        sequence of the reference's nested loop, surrogate.py:133-157).
+        One dispatch instead of epochs*groups."""
+        G = seqs.shape[0]
+
+        def body(carry, g):
+            params, opt_state = carry
+            params, opt_state, loss = self._step_impl(
+                params, opt_state, seqs[g], lengths[g], tgts[g], masks[g],
+                lr)
+            return (params, opt_state), loss
+
+        xs = jnp.tile(jnp.arange(G), num_epochs)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state),
+                                                   xs)
+        return params, opt_state, losses[-1]
+
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _surrogate_programs(num_hidden, number_input_feats, size_ebedding):
+    key = (num_hidden, number_input_feats, size_ebedding)
+    progs = _PROGRAM_CACHE.get(key)
+    if progs is None:
+        progs = _PROGRAM_CACHE[key] = _SurrogatePrograms(
+            _SurrogateNet(num_hidden, number_input_feats, size_ebedding))
+    return progs
+
+
 class SimpleRecurrentSurrogate:
     """Stateful wrapper: params + persistent Adam state + jitted steps."""
 
     def __init__(self, num_hidden=100, number_input_feats=3,
                  size_ebedding=100, seed=0, max_seq_len=4):
-        self.net = _SurrogateNet(num_hidden, number_input_feats, size_ebedding)
+        progs = _surrogate_programs(num_hidden, number_input_feats,
+                                    size_ebedding)
+        self.net = progs.net
         self.params = self.net.init(seed)
         self.opt_state = None
         self.max_seq_len = max_seq_len
-        self._predict = jax.jit(
-            lambda params, seq, lengths: self.net.apply(params, Ctx(), seq,
-                                                        lengths))
-        self._fit_scan = jax.jit(self._fit_scan_impl,
-                                 static_argnames=("num_epochs",))
+        self._predict = progs.predict
+        self._fit_scan = progs.fit_scan
 
     def _padded_len(self, L):
         return max(self.max_seq_len, L)
@@ -120,36 +177,6 @@ class SimpleRecurrentSurrogate:
         return [float(v) for v in out[:N, 0]]
 
     # ---------------- training
-    def _step_impl(self, params, opt_state, seq, lengths, target, mask, lr):
-        def loss_fn(p):
-            pred = self.net.apply(p, Ctx(), seq, lengths)
-            sq = jnp.square(pred - target)[:, 0] * mask
-            return jnp.sum(sq) / jnp.maximum(jnp.sum(mask), 1.0)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state = adam_update(params, grads, opt_state, lr)
-        return params, opt_state, loss
-
-    def _fit_scan_impl(self, params, opt_state, seqs, lengths, tgts, masks,
-                       lr, num_epochs):
-        """All `num_epochs` x groups full-batch steps as ONE lax.scan
-        program (epoch-major, group order preserved — the exact update
-        sequence of the reference's nested loop, surrogate.py:133-157).
-        One dispatch instead of epochs*groups."""
-        G = seqs.shape[0]
-
-        def body(carry, g):
-            params, opt_state = carry
-            params, opt_state, loss = self._step_impl(
-                params, opt_state, seqs[g], lengths[g], tgts[g], masks[g],
-                lr)
-            return (params, opt_state), loss
-
-        xs = jnp.tile(jnp.arange(G), num_epochs)
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state),
-                                                   xs)
-        return params, opt_state, losses[-1]
-
     def fit(self, dataset_conf, dataset_acc, num_epochs, lr):
         """dataset_conf: list of (L, N, feats) arrays grouped by seq length;
         dataset_acc: list of (N, 1). Returns the last batch loss
