@@ -155,8 +155,8 @@ def bench_proxy(detail):
     @jax.jit
     def feats_loop(backbone_tree, rgb, ske, eps):
         def body(acc, _):
-            fa, fb, lb, la = trainer._features_impl(
-                backbone_tree, (rgb + acc * eps, ske), key, True)
+            fa, fb, lb, la = trainer._features(
+                backbone_tree, (rgb + acc * eps, ske), key, train=True)
             return jnp.sum(lb) + jnp.sum(fa[:, 0, 0]), None
 
         acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
@@ -178,8 +178,8 @@ def bench_proxy(detail):
         @jax.jit
         def feats_loop_bf16(backbone_tree, rgb, ske, eps):
             def body(acc, _):
-                fa, fb, lb, la = trainer_bf16._features_impl(
-                    backbone_tree, (rgb + acc * eps, ske), key, True)
+                fa, fb, lb, la = trainer_bf16._features(
+                    backbone_tree, (rgb + acc * eps, ske), key, train=True)
                 return jnp.sum(lb) + jnp.sum(fa[:, 0, 0]), None
 
             acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
@@ -203,7 +203,7 @@ def bench_proxy(detail):
         def loop(params, bn, opt):
             def body(carry, _):
                 params, bn, opt = carry
-                params, bn, opt, loss_c, corr_c = trainer._train_step_impl(
+                params, bn, opt, loss_c, corr_c = trainer._train_step(
                     params, bn, opt, enc, fa, fb, lb, la, label, wmask,
                     jnp.float32(1e-3), key)
                 return (params, bn, opt), jnp.sum(loss_c)
