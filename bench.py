@@ -410,11 +410,15 @@ def bench_search_wallclock(detail, tmp_root):
     spreads = {}
 
     # run 1 pays the XLA compiles; later FRESH-searcher runs are the WARM
-    # wall-clock including the per-process jit retrace + persistent-cache
-    # retrieval; RESIDENT runs re-enter search() on the same searcher, the
-    # symmetric basis to the sequential side below (which also times a
-    # resident engine — the reference pays no per-candidate compile or
-    # retrace either). min-of-2 damps 1-core host-scheduling noise.
+    # wall-clock of building a brand-new searcher — which by design reuses
+    # this process's compiled programs (population.population_programs /
+    # surrogate program cache), so it measures real re-setup cost (loader
+    # + backbone build + bank extraction), not re-retrieval of
+    # executables; RESIDENT runs re-enter search() on the same searcher
+    # (live feature bank for the cached variant), the symmetric basis to
+    # the sequential side below (which also times a resident engine — the
+    # reference pays no per-candidate compile or retrace either).
+    # min-of-2 damps 1-core host-scheduling noise.
     wall_pop_cold, pop_searcher = run_search()
     wall_pop = min2("pop", lambda: run_search()[0], lambda: run_search()[0])
     wall_pop_res = min2("pop_resident",
@@ -509,8 +513,11 @@ def bench_search_wallclock(detail, tmp_root):
         "search_wallclock_speedup": round(wall_seq / wall_pop, 2),
         "search_wallclock_note": (
             "pop = full EPNAS loop incl. surrogate/sampling/host IO, WARM "
-            "run (2nd in-process search; 1st run's one-time XLA compiles "
-            "reported as pop_cold); seq = candidates x measured WARM "
+            "run (a NEW searcher in the same process; it shares the "
+            "process's compiled programs by design — "
+            "population_programs — so this is re-setup + training cost; "
+            "the 1st run's one-time XLA compiles are pop_cold); seq = "
+            "candidates x measured WARM "
             "per-candidate training wall-clock (per-candidate XLA compile "
             "and model-build excluded, matching basis: the reference pays "
             "no per-candidate compile). seq_measured = ONE real "
