@@ -739,8 +739,53 @@ def bench_host_input(detail):
     detail["native_input_normalize_threads"] = best[1]
 
 
+def _device_init_hangs(timeout_s=240):
+    """True when jax device init cannot complete in bounded time.
+
+    A crashed TPU client can leave the remote chip claim wedged: every
+    later ``jax.devices()`` then blocks in a silent connect-retry loop
+    (no exception, 0 CPU) — observed for hours after a
+    FAILED_PRECONDITION crash. Probing in a SUBPROCESS is the only safe
+    bound: the retry loop ignores signals-free interruption inside this
+    process. ~2 s when the backend is healthy or plain CPU."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return proc.returncode != 0 or "ok" not in proc.stdout
+    except subprocess.TimeoutExpired:
+        return True
+
+
 def main():
     import tempfile
+
+    probe = (os.environ.get("MFAS_BENCH_SKIP_PROBE") != "1"
+             # a CPU-pinned run never touches the tunnel (the CLIs honor
+             # the env via runtime/compile_cache.honor_env_platforms)
+             and os.environ.get("JAX_PLATFORMS", "") != "cpu")
+    if probe and _device_init_hangs():
+        # no measurement is possible — reprint the last recorded on-chip
+        # result, clearly labeled, and do NOT overwrite bench_detail.json
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(here, "bench_detail.json")) as f:
+                last = json.load(f)
+        except OSError:
+            last = {"metric": "mfas_search_speedup_vs_sequential_candidates",
+                    "value": 0.0, "unit": "x", "vs_baseline": 0.0}
+        print(json.dumps({
+            "metric": last["metric"], "value": last["value"],
+            "unit": last["unit"], "vs_baseline": last["vs_baseline"],
+            "tpu_unreachable": True,
+            "note": ("device init did not complete in 240 s (TPU tunnel "
+                     "down/wedged); value is a REPRINT of the last "
+                     "recorded on-chip run from bench_detail.json, not a "
+                     "fresh measurement"),
+        }))
+        return
 
     from mfas_tpu.runtime.compile_cache import \
         enable_persistent_compilation_cache
