@@ -748,6 +748,9 @@ def _device_init_hangs(timeout_s=240):
     FAILED_PRECONDITION crash. Probing in a SUBPROCESS is the only safe
     bound: the retry loop ignores signals-free interruption inside this
     process. ~2 s when the backend is healthy or plain CPU."""
+    from mfas_tpu.runtime.compile_cache import tunnel_relay_dead
+    if tunnel_relay_dead():
+        return True                # relay gone: instant verdict
     import subprocess
     try:
         proc = subprocess.run(
@@ -780,7 +783,7 @@ def main():
             "metric": last["metric"], "value": last["value"],
             "unit": last["unit"], "vs_baseline": last["vs_baseline"],
             "tpu_unreachable": True,
-            "note": ("device init did not complete in 240 s (TPU tunnel "
+            "note": ("device init cannot complete (TPU tunnel "
                      "down/wedged); value is a REPRINT of the last "
                      "recorded on-chip run from bench_detail.json, not a "
                      "fresh measurement"),

@@ -13,6 +13,43 @@ from __future__ import annotations
 import os
 
 
+def tunnel_relay_dead():
+    """True when this is a tunneled-TPU deployment whose local relay no
+    longer listens (one TCP connect, microseconds, no chip claim).
+    False on non-tunnel deployments (nothing to check)."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    import socket
+    try:
+        socket.create_connection(("127.0.0.1", 8082), timeout=5).close()
+        return False
+    except OSError:
+        return True
+
+
+def fail_fast_on_dead_tunnel():
+    """Instant TCP check of the remote-TPU tunnel relay.
+
+    When the tunnel relay process dies (observed after a backend crash),
+    the TPU plugin's device init blocks in a SILENT connect-retry loop —
+    a CLI would hang forever with no message. One local TCP connect
+    (microseconds, no chip claim) distinguishes that: the relay listens
+    on localhost and its first port is the one the plugin dials.
+    Exits with a clear message instead of hanging; free when healthy;
+    no-op for CPU-pinned runs or non-tunnel deployments (real TPU VMs).
+    Opt out with MFAS_SKIP_DEVICE_PROBE=1."""
+    if os.environ.get("MFAS_SKIP_DEVICE_PROBE") == "1":
+        return
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    if tunnel_relay_dead():
+        raise SystemExit(
+            "TPU tunnel relay unreachable (127.0.0.1:8082): device init "
+            "would hang in a silent retry loop. Restore the tunnel, or "
+            "run on CPU with JAX_PLATFORMS=cpu, or skip this check with "
+            "MFAS_SKIP_DEVICE_PROBE=1.")
+
+
 def honor_env_platforms():
     """Re-assert JAX_PLATFORMS from the environment: TPU deployment shims
     (e.g. an axon sitecustomize) may force jax_platforms programmatically,
@@ -32,9 +69,11 @@ def enable_persistent_compilation_cache(path: str | None = None,
     the first compile to benefit it). Returns the cache dir or None.
 
     Doubles as the entry-point init hook: every CLI/bench/dryrun calls it
-    first, so it also applies ``honor_env_platforms`` (callers that need
-    only one of the two behaviors can call the dedicated function)."""
+    first, so it also applies ``honor_env_platforms`` and
+    ``fail_fast_on_dead_tunnel`` (callers that need only one of the
+    behaviors can call the dedicated function)."""
     honor_env_platforms()
+    fail_fast_on_dead_tunnel()
     if os.environ.get("MFAS_COMPILE_CACHE", "1") == "0":
         return None
     import jax
