@@ -329,8 +329,3 @@ class Identity(Module):
         return x
 
 
-def cast_tree(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        tree,
-    )

@@ -13,20 +13,18 @@ from mfas_tpu.engine.classifier import ClassifierEngine
 class CifarEngine(ClassifierEngine):
     def __init__(self, model, use_intermediate=False, aux_weight=0.4,
                  weight_decay=1e-4, mesh=None):
+        # initial_best_acc=-1.0: the reference cifar loop tracks best
+        # ERROR from 1e100, so the first dev epoch ALWAYS snapshots, even
+        # at accuracy 0 (cifar.py:18,80-83); with num_epochs=0 the -1.0
+        # escapes as the "accuracy", matching the reference's 1-1e100.
+        # adam_skip_disconnected: dead submodules (aux head when the aux
+        # loss is off, never-consumed FactorizedReductions) have grad=None
+        # in torch and are never stepped (core/optim.py).
         super().__init__(model, multitask=False, weight_decay=weight_decay,
-                         input_keys=("image",), label_key="label", mesh=mesh)
+                         input_keys=("image",), label_key="label", mesh=mesh,
+                         initial_best_acc=-1.0, adam_skip_disconnected=True)
         self.use_intermediate = use_intermediate
         self.aux_weight = aux_weight
-        # reference cifar loop: best_error starts at 1e100, so the first
-        # dev epoch ALWAYS snapshots, even at accuracy 0 (cifar.py:18,80-83).
-        # With num_epochs=0 the -1.0 escapes as the "accuracy" — matching
-        # the reference, which returns 1-1e100 in that degenerate case
-        # (any >=1-epoch run overwrites it on the first dev phase)
-        self._initial_best_acc = -1.0
-        # whole-net training: dead submodules (aux head when the aux loss
-        # is off, never-consumed FactorizedReductions) have grad=None in
-        # torch and are never stepped — replicate (core/optim.py)
-        self._adam_skip_disconnected = True
 
     def _forward(self, tree, ctx, batch):
         out, iout = self.model.apply(tree, ctx, batch["image"])

@@ -48,13 +48,25 @@ def split_tree(model, tree, trainable_prefixes=None):
     return partition(tree, pred)
 
 
+def place_batch(batch, mesh):
+    """Host batch -> device/mesh placement (shared by every engine).
+    Under a mesh, host arrays go straight to their shards
+    (device_put_global); a jnp.asarray hop first would stage the full
+    batch on one device before resharding."""
+    if mesh is not None:
+        return pm.shard_batch(batch, mesh)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
 class ClassifierEngine:
     def __init__(self, model, multitask=False, weight_decay=1e-4,
                  input_keys=("image", "audio"), label_key="label",
                  mesh=None, donate=False, remat=False, compute_dtype=None,
-                 batch_prep=None):
-        # donation is off by default: the best-dev snapshot keeps live
-        # references into the current param buffers
+                 batch_prep=None, initial_best_acc=0.0,
+                 adam_skip_disconnected=False):
+        # donate: donate trainable/opt buffers into the train step (halves
+        # their HBM footprint); best-dev snapshots are then deep-copied so
+        # they never alias a donated buffer (_snapshot)
         self.model = model
         self.multitask = multitask
         self.weight_decay = weight_decay
@@ -71,6 +83,14 @@ class ClassifierEngine:
         # batch_prep: traced in-graph batch transform (e.g. the fused
         # uint8 -> normalized-float input kernel for packed NTU batches)
         self.batch_prep = batch_prep
+        # reference NTU/AVMNIST loops start best_acc at 0 (a 0.0 dev epoch
+        # never snapshots); the CIFAR loop tracks best ERROR from 1e100 so
+        # its FIRST dev epoch always snapshots — CifarEngine passes -1.0
+        self.initial_best_acc = initial_best_acc
+        # whole-net training with dead submodules: torch leaves grad-None
+        # params unstepped — replicate via skip_disconnected (core/optim.py)
+        self.adam_skip_disconnected = adam_skip_disconnected
+        self._donate = bool(donate)
 
         self._train_step = jax.jit(
             self._train_step_impl,
@@ -135,7 +155,7 @@ class ClassifierEngine:
             loss_fn, has_aux=True)(trainable)
         trainable, opt_state = adam_update(
             trainable, grads, opt_state, lr, weight_decay=self.weight_decay,
-            skip_disconnected=getattr(self, "_adam_skip_disconnected", False))
+            skip_disconnected=self.adam_skip_disconnected)
         # BatchNorm emits running-stat updates at f32 regardless of the
         # compute dtype (core/layers.py), so they fold back unchanged
         frozen = apply_updates(frozen, updates)
@@ -147,13 +167,16 @@ class ClassifierEngine:
         return loss, corrects
 
     # ---------------- host loops
+    def _snapshot(self, tree):
+        """A best-dev snapshot that survives buffer donation: with
+        donate=True the next train step invalidates the current trainable
+        buffers, so the snapshot must own its arrays."""
+        if not self._donate:
+            return tree
+        return jax.tree_util.tree_map(jnp.copy, tree)
+
     def _place(self, batch):
-        if self.mesh is not None:
-            # host arrays straight to their shards (device_put_global);
-            # a jnp.asarray hop first would stage the full batch on one
-            # device before resharding
-            return pm.shard_batch(batch, self.mesh)
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+        return place_batch(batch, self.mesh)
 
     def _prefetched(self, loader, size=2):
         """Yield (n_valid, device_batch) with collation + H2D running one
@@ -184,12 +207,8 @@ class ClassifierEngine:
         opt_state = adam_init(trainable)
         rng = Rng(seed)
 
-        # the reference NTU/AVMNIST loops start best_acc at 0 (a 0.0 dev
-        # epoch never snapshots); the CIFAR loop tracks best ERROR from
-        # 1e100, so its FIRST dev epoch always snapshots — CifarEngine
-        # overrides the start value to preserve that (cifar.py:18,80-83)
-        best_acc = getattr(self, "_initial_best_acc", 0.0)
-        best_tree = merge(trainable, frozen)
+        best_acc = self.initial_best_acc
+        best_tree = self._snapshot(merge(trainable, frozen))
         start_epoch = 0
 
         if resume and state_path and os.path.exists(state_path):
@@ -203,6 +222,14 @@ class ClassifierEngine:
             best_tree = st["best_tree"]
             best_acc = st["best_acc"]
             opt_state = st["opt_state"]
+            if self.mesh is not None:
+                # loaded leaves are single-device host arrays; the fresh-
+                # start path replicates over the mesh, so must resume
+                # (multi-process jit rejects non-global operands)
+                trainable = pm.replicate_tree(trainable, self.mesh)
+                frozen = pm.replicate_tree(frozen, self.mesh)
+                opt_state = pm.replicate_tree(opt_state, self.mesh)
+                best_tree = pm.replicate_tree(best_tree, self.mesh)
             start_epoch = st["epoch"] + 1
             rng = Rng(seed + start_epoch)
             if verbose or print_loss:
@@ -242,7 +269,7 @@ class ClassifierEngine:
                             "lr": getattr(scheduler, "eta", None)}) + "\n")
                 if phase == "dev" and epoch_acc > best_acc:
                     best_acc = epoch_acc
-                    best_tree = merge(trainable, frozen)
+                    best_tree = self._snapshot(merge(trainable, frozen))
 
             if state_path:
                 from mfas_tpu.runtime.train_state import save_train_state

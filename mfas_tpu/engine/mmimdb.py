@@ -43,11 +43,23 @@ class MMIMDBEngine:
         self._steps = {}  # (train, text_len) -> jitted fn
 
     def _place(self, batch):
-        if self.mesh is not None:
-            # host arrays straight to their shards (device_put_global,
-            # collective-free under multi-process meshes)
-            return pm.shard_batch(batch, self.mesh)
-        return {k: jnp.asarray(v) for k, v in batch.items()}
+        from mfas_tpu.engine.classifier import place_batch
+        return place_batch(batch, self.mesh)
+
+    def _prefetched(self, loader, size=2):
+        """Yield (n_valid, host_label, host_mask, device_batch) with
+        collation + H2D placement one batch ahead on a background thread
+        (same pipeline as ClassifierEngine._prefetched). Labels/masks ride
+        along as HOST arrays: the F1 needs per-sample rows, and under a
+        multi-process mesh the placed copies span non-addressable
+        devices."""
+        from mfas_tpu.data.loader import prefetch_to_device
+
+        def place(batch):
+            return (float(np.sum(batch["_mask"])), batch["label"],
+                    batch["_mask"], self._place(batch))
+
+        return prefetch_to_device(loader, size=size, place=place)
 
     def _replicated(self, *trees):
         if self.mesh is None:
@@ -129,22 +141,22 @@ class MMIMDBEngine:
                 for phase in ("train", "dev"):
                     preds_all, labels_all = [], []
                     loss_terms = []
-                    for batch in dataloaders[phase]:
-                        n_valid = float(np.sum(batch["_mask"]))
-                        jb = self._place(batch)
+                    for n_valid, label, mask, jb in self._prefetched(
+                            dataloaders[phase]):
+                        text_len = int(jb["text"].shape[1])
                         if phase == "train":
                             eta = scheduler.step()
-                            step = self._get_step("train", batch["text"].shape[1])
+                            step = self._get_step("train", text_len)
                             trainable, frozen, opt_state, loss = step(
                                 trainable, frozen, opt_state, jb,
                                 jnp.float32(eta), rng.next())
                             loss_terms.append((loss, n_valid))
                         else:
-                            step = self._get_step("eval", batch["text"].shape[1])
+                            step = self._get_step("eval", text_len)
                             pred = np.asarray(step(trainable, frozen, jb))
-                            keep = batch["_mask"] > 0
+                            keep = mask > 0
                             preds_all.append(pred[keep])
-                            labels_all.append(batch["label"][keep])
+                            labels_all.append(label[keep])
 
                     if phase == "train":
                         running_loss = sum(float(l) * n for l, n in loss_terms)
@@ -164,6 +176,11 @@ class MMIMDBEngine:
                             best_f1 = curr_f1
                             best = merge(trainable, frozen)
 
+            # reachable only when the CALLER passes init_f1=NaN (the
+            # `curr_f1 > best_f1` update can never assign NaN, and
+            # samples_f1 is division-guarded) — faithfully matching the
+            # reference, whose loop has the identical property
+            # (train_searchable/mmimdb.py:20,124-127)
             if math.isnan(best_f1) and num_epochs == 1 and cont_overloop < 1:
                 print("Recording a NaN F1, training for one more epoch.")
             else:
@@ -181,12 +198,11 @@ class MMIMDBEngine:
         trainable, frozen = split_tree(self.model, tree, None)
         trainable, frozen = self._replicated(trainable, frozen)
         preds_all, labels_all = [], []
-        for batch in dataloader:
-            jb = self._place(batch)
-            step = self._get_step("eval", batch["text"].shape[1])
+        for _, label, mask, jb in self._prefetched(dataloader):
+            step = self._get_step("eval", int(jb["text"].shape[1]))
             pred = np.asarray(step(trainable, frozen, jb))
-            keep = batch["_mask"] > 0
+            keep = mask > 0
             preds_all.append(pred[keep])
-            labels_all.append(np.asarray(batch["label"])[keep])
+            labels_all.append(np.asarray(label)[keep])
         return samples_f1(np.concatenate(labels_all) > 0.5,
                           np.concatenate(preds_all))

@@ -56,3 +56,65 @@ def test_interrupted_training_resumes_identically(tmp_path):
     for k in ff:
         np.testing.assert_allclose(np.asarray(fr[k]), np.asarray(ff[k]),
                                    rtol=2e-5, atol=2e-6, err_msg=k)
+
+
+def test_resume_under_mesh_matches_unmeshed(tmp_path):
+    """Resume with --use_dataparallel: the loaded params/opt/best trees
+    must be re-placed on the mesh (the fresh-start path replicates; a
+    resumed run used to leave them as single-device arrays)."""
+    from mfas_tpu.parallel.mesh import make_mesh
+
+    state = str(tmp_path / "train_state.checkpoint")
+    mesh = make_mesh(8)
+
+    net, tree, loaders, sizes = _setup()
+    eng = ClassifierEngine(net, input_keys=("image", "audio"))
+    acc_full, best_full = eng.train_track_acc(
+        tree, None, loaders, sizes, _sched(sizes), num_epochs=3,
+        print_loss=False)
+
+    net2, tree2, loaders2, sizes2 = _setup()
+    eng2 = ClassifierEngine(net2, input_keys=("image", "audio"), mesh=mesh)
+    eng2.train_track_acc(tree2, None, loaders2, sizes2, _sched(sizes2),
+                         num_epochs=1, print_loss=False, state_path=state)
+
+    net3, tree3, loaders3, sizes3 = _setup()
+    eng3 = ClassifierEngine(net3, input_keys=("image", "audio"), mesh=mesh)
+    acc_res, best_res = eng3.train_track_acc(
+        tree3, None, loaders3, sizes3, _sched(sizes3), num_epochs=3,
+        print_loss=False, state_path=state, resume=True)
+    # loaded-and-replicated leaves must actually live on the mesh
+    leaf = next(iter(flatten_tree(best_res).values()))
+    assert len(getattr(leaf, "devices", lambda: [None])()) == 8
+
+    assert acc_res == acc_full
+    # meshed vs unmeshed reduction orders drift across epochs of Adam —
+    # same tolerance as test_engine_mesh.py's meshed==single comparison
+    ff, fr = flatten_tree(best_full), flatten_tree(best_res)
+    for k in ff:
+        np.testing.assert_allclose(np.asarray(fr[k]), np.asarray(ff[k]),
+                                   rtol=2e-2, atol=5e-4, err_msg=k)
+
+
+def test_donate_keeps_best_snapshot_alive():
+    """donate=True invalidates the previous step's trainable buffers; the
+    best-dev snapshot must own copies (ClassifierEngine._snapshot)."""
+    net, tree, loaders, sizes = _setup()
+    eng = ClassifierEngine(net, input_keys=("image", "audio"), donate=True)
+    acc, best = eng.train_track_acc(tree, None, loaders, sizes,
+                                    _sched(sizes), num_epochs=2,
+                                    print_loss=False)
+    # every leaf readable (a deleted donated buffer would raise here)
+    for k, v in flatten_tree(best).items():
+        np.asarray(v)
+
+    net2, tree2, loaders2, sizes2 = _setup()
+    eng2 = ClassifierEngine(net2, input_keys=("image", "audio"))
+    acc2, best2 = eng2.train_track_acc(tree2, None, loaders2, sizes2,
+                                       _sched(sizes2), num_epochs=2,
+                                       print_loss=False)
+    assert acc == acc2
+    f1, f2 = flatten_tree(best), flatten_tree(best2)
+    for k in f1:
+        np.testing.assert_allclose(np.asarray(f1[k]), np.asarray(f2[k]),
+                                   rtol=2e-5, atol=2e-6, err_msg=k)
