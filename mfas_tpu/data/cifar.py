@@ -17,6 +17,8 @@ import pickle
 
 import numpy as np
 
+from mfas_tpu.data.loader import ArrayLoader
+
 CIFAR_MEAN = np.asarray([0.4914, 0.4822, 0.4465], np.float32)
 CIFAR_STD = np.asarray([0.2023, 0.1994, 0.2010], np.float32)
 
@@ -69,48 +71,30 @@ def cutout(images, rng, n_holes=1, length=16):
     return out
 
 
-class CifarLoader:
-    """Fixed-shape batches with train-time augmentation on the host."""
+class CifarLoader(ArrayLoader):
+    """ArrayLoader + the reference's host-side CIFAR pipeline: train-time
+    random crop/flip (+ optional cutout) and per-channel normalization.
+    Same padded-batch/mask contract and RNG draw order as the base
+    (shuffle first, then one augmentation draw per batch)."""
 
     def __init__(self, arrays, batch_size, train=False, seed=0, indices=None,
                  use_cutout=False, cutout_length=16):
-        self.arrays = arrays
-        self.indices = (np.arange(len(arrays["image"]))
-                        if indices is None else np.asarray(indices))
-        self.batch_size = int(batch_size)
+        super().__init__(arrays, batch_size, shuffle=train, seed=seed,
+                         indices=indices)
         self.train = train
         self.use_cutout = use_cutout
         self.cutout_length = cutout_length
-        self._rng = np.random.RandomState(seed)
-
-    @property
-    def dataset_size(self):
-        return len(self.indices)
-
-    def __len__(self):
-        return -(-len(self.indices) // self.batch_size)
 
     def __iter__(self):
-        idx = self.indices.copy()
-        if self.train:
-            self._rng.shuffle(idx)
-        bs = self.batch_size
-        for start in range(0, len(idx), bs):
-            take = idx[start:start + bs]
-            n = len(take)
-            mask = np.zeros((bs,), np.float32)
-            mask[:n] = 1.0
-            if n < bs:
-                take = np.concatenate([take, np.repeat(take[:1], bs - n)])
-            image = self.arrays["image"][take]
+        for batch in super().__iter__():
+            image = batch["image"]
             if self.train:
                 image = random_crop_flip(image, self._rng)
                 if self.use_cutout:
                     image = cutout(image, self._rng,
                                    length=self.cutout_length)
-            image = normalize(image)
-            yield {"image": image.astype(np.float32),
-                   "label": self.arrays["label"][take], "_mask": mask}
+            batch["image"] = normalize(image).astype(np.float32)
+            yield batch
 
 
 def make_synthetic_cifar(root_dir, n_per_batch=20, seed=0):

@@ -216,6 +216,14 @@ class MapLoader:
                                            for i, sd in batches[nxt]])
                             nxt += 1
                         if stop.is_set():
+                            # early consumer close: drop the queued work —
+                            # without cancelling, the executor's __exit__
+                            # would decode up to prefetch+1 batches of
+                            # samples nobody will read
+                            for futs_left in window:
+                                for f in futs_left:
+                                    f.cancel()
+                            ex.shutdown(wait=False, cancel_futures=True)
                             return
                         q.put(("batch", collate(samples)))
             except BaseException as e:  # propagate to the consumer

@@ -42,9 +42,14 @@ _build_failed = False
 
 
 def _build():
+    # compile to a private temp path, then rename: publication is atomic,
+    # so a concurrent process (multi-host launch, bench subprocess) never
+    # CDLLs a half-written .so
+    tmp = f"{_SO}.build-{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           "-std=c++17", _SRC, "-o", _SO]
+           "-std=c++17", _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def get_lib():
@@ -115,11 +120,11 @@ def gather_normalize_u8(base, indices, mean, std, num_threads=None):
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
     sample_shape = base.shape[1:]
-    out = np.empty((len(indices),) + sample_shape, np.float32)
     lib = get_lib()
     if lib is None:
         sel = base[indices].astype(np.float32) / 255.0
         return ((sel - mean) / std).astype(np.float32)
+    out = np.empty((len(indices),) + sample_shape, np.float32)
     lib.mfas_gather_normalize_u8(
         base.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -132,10 +137,10 @@ def gather_f32(base, indices, num_threads=None):
     base = np.ascontiguousarray(base, np.float32)
     indices = np.ascontiguousarray(indices, np.int64)
     sample_shape = base.shape[1:]
-    out = np.empty((len(indices),) + sample_shape, np.float32)
     lib = get_lib()
     if lib is None:
         return base[indices].copy()
+    out = np.empty((len(indices),) + sample_shape, np.float32)
     lib.mfas_gather_f32(
         _fptr(base),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -140,8 +140,14 @@ class PackedNTU:
         sample = {"rgb": video, "ske": skeleton,
                   "label": int(self.labels[idx])}
         if self.transform:
-            if rng is not None and isinstance(self.transform,
-                                              ntu_data.Compose):
+            # same dispatch as ntu.NTU._get: a BARE transform with the
+            # accepts_rng protocol (e.g. AugCrop outside a Compose) must
+            # also get the per-sample rng, or seeded parallel loading
+            # silently degrades to the shared thread-raced RNG
+            if rng is not None and (getattr(self.transform, "accepts_rng",
+                                            False)
+                                    or isinstance(self.transform,
+                                                  ntu_data.Compose)):
                 sample = self.transform(sample, rng=rng)
             else:
                 sample = self.transform(sample)

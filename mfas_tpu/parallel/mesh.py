@@ -145,7 +145,7 @@ def _log_batch_checksum(x):
 
 def shard_batch(batch, mesh, axis="data"):
     """Place each array of a (possibly nested) batch with its leading dim
-    sharded over ``axis``. Batch sizes must divide the mesh axis size —
+    sharded over ``axis``. The mesh axis size must divide the batch size —
     loaders pad to full batches, so this holds by construction."""
     sh = batch_sharding(mesh, axis)
 

@@ -276,6 +276,13 @@ class _WriterPickler(pickle._Pickler):
 
 
 def _wrap_tensors(obj, counter, store):
+    # numpy SCALARS first: they carry .dtype/.shape, so the tensor branch
+    # below would otherwise serialize them as 0-d tensors that torch.load
+    # yields back as tensor(3) where callers expect a python int
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
     if isinstance(obj, np.ndarray) or (hasattr(obj, "dtype")
                                        and hasattr(obj, "shape")):
         arr = np.asarray(obj)
@@ -292,10 +299,6 @@ def _wrap_tensors(obj, counter, store):
                          for k, v in obj.items())
     if isinstance(obj, (list, tuple)):
         return type(obj)(_wrap_tensors(v, counter, store) for v in obj)
-    if isinstance(obj, (np.integer,)):
-        return int(obj)
-    if isinstance(obj, (np.floating,)):
-        return float(obj)
     return obj
 
 
@@ -360,8 +363,12 @@ def tree_from_state_dict(flat: dict, template=None):
             raise KeyError(
                 f"state_dict mismatch: missing={missing[:5]} "
                 f"unexpected={unexpected[:5]}")
+        # .dtype reads metadata only — np.asarray(template_leaf) would
+        # fetch every device-resident template array to host just for its
+        # dtype (tens of MB over a tunneled backend)
         out = {k: jnp.asarray(np.asarray(flat[k]),
-                              dtype=np.asarray(tflat[k]).dtype)
+                              dtype=getattr(tflat[k], "dtype", None)
+                              or np.asarray(tflat[k]).dtype)
                for k in tflat}
         return unflatten_tree(out)
     return unflatten_tree({k: jnp.asarray(v) for k, v in flat.items()})

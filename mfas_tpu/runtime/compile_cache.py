@@ -19,6 +19,10 @@ def tunnel_relay_dead():
     False on non-tunnel deployments (nothing to check)."""
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return False
+    if os.environ.get("AXON_LOOPBACK_RELAY") != "1":
+        # pool dialed directly (no local relay) — nothing local to probe,
+        # and 127.0.0.1:8082 would be some unrelated service
+        return False
     import socket
     try:
         socket.create_connection(("127.0.0.1", 8082), timeout=5).close()

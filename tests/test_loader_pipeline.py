@@ -185,3 +185,29 @@ def test_parallel_loader_reproducible_with_random_transforms(tmp_path):
     for ba, bb in zip(a, b):
         for k in ba:
             np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+
+def test_packed_ntu_bare_transform_gets_per_sample_rng(tmp_path):
+    """PackedNTU must honor the accepts_rng protocol for a BARE transform
+    (not just Compose) like ntu.NTU does — otherwise seeded loading
+    silently falls back to the shared thread-raced RNG."""
+    from mfas_tpu.data import ntu as ntu_data
+    from mfas_tpu.data.ntu_pack import PackedNTU, make_synthetic_packed_ntu
+    import types
+
+    # >=64 skeleton frames: below that AugCrop is a documented no-op and
+    # different seeds could not differ
+    make_synthetic_packed_ntu(str(tmp_path), n=3, frames=80, h=8, w=8)
+    args = types.SimpleNamespace(modality="both", no_norm=False)
+    ds = PackedNTU(str(tmp_path), transform=ntu_data.AugCrop(seed=0),
+                   args=args)
+    a = ds.getitem_seeded(1, 123)
+    b = ds.getitem_seeded(1, 123)
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    # a different seed draws a different temporal crop of the video (the
+    # packed skeleton stream is 32 frames, below AugCrop's 64-frame
+    # threshold) — proving the rng reaches the bare transform instead of
+    # the shared instance RNG
+    c = ds.getitem_seeded(1, 456)
+    assert a["rgb"].shape != c["rgb"].shape or \
+        not np.array_equal(a["rgb"], c["rgb"])
