@@ -67,6 +67,15 @@ class Searchable_MicroCNN(Module):
         self.dropout_cla = L.Dropout(args.drop_prob)
         self.aux_head = AuxiliaryHead(args.num_outputs, self.args.planes)
 
+        # the reference re-draws EVERY Conv2d weight of the assembled net
+        # with kaiming_uniform(fan_in, relu) — cells, separable convs,
+        # pool branches, factorized reductions, aux head included; biases
+        # and Linears keep torch defaults (cifar_searchable.py:215-217)
+        ku = I.kaiming_uniform(0.0)
+        for m in self.modules():
+            if isinstance(m, L.Conv2d):
+                m.weight_init = ku
+
     def _create_cell_array(self):
         cell_array = ModuleList()
         pooled_layers = ModuleList()

@@ -31,7 +31,21 @@ def tap_sizes(args):
     ResNet-50 stage widths (base_width 64 x [8,16,32,32]); they scale with
     the optional resnet3d_base_width shrink knob (models/ntu.py Visual)."""
     w = int(getattr(args, "resnet3d_base_width", 64))
-    sizes_ske = [128, 256, args.vid_len[1] * 32, 512]
+    # ske tap 2 is the flattened out7 map, really 256*max((wl//16)**2, 1)
+    # wide; the reference's vid_len[1]*32 formula (:295) matches it only
+    # for window lengths 8 and 32 — its only used configs. Other windows
+    # would missize the fusion Linear and crash at trace time deep inside
+    # the net, so reject them here with the real arithmetic spelled out.
+    wl = int(args.vid_len[1])
+    true_w = 256 * max((wl // 16) ** 2, 1)
+    if wl * 32 != true_w:
+        raise ValueError(
+            f"vid_len[1]={wl}: the reference's skeleton tap-size formula "
+            f"vid_len[1]*32={wl * 32} disagrees with the real flattened "
+            f"tap width 256*max((vid_len[1]//16)**2,1)={true_w}; only "
+            "window lengths 8 and 32 are supported (reference "
+            "ntu_searchable.py:288-296 has the same latent mismatch)")
+    sizes_ske = [128, 256, wl * 32, 512]
     sizes_ims = [w * 8, w * 16, w * 32, w * 32]
     return sizes_ske, sizes_ims
 

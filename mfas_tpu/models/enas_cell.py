@@ -24,13 +24,6 @@ from mfas_tpu.core import init as I
 from mfas_tpu.core import layers as L
 from mfas_tpu.core.module import Identity, Module, ModuleList, Sequential
 
-_KU_RELU = I.kaiming_uniform(0.0)
-
-OPERATION_LABELS = ['I', '3x3 conv', '5x5 conv', '3x3 depthconv',
-                    '5x5 depthconv', '7x7 depthconv', '3x3 maxpool',
-                    '3x3 avgpool']
-
-
 class SeparableConvOld(Module):
     def __init__(self, in_planes, out_planes, kernel_size, bias=False):
         super().__init__()

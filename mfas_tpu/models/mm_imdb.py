@@ -3,9 +3,12 @@
   * GP_VGG (:19-59): VGG-19 feature trunk with GlobalPooling2D taps after
     module indices 20/26/33/36 (all 512-d) and a BN+Linear classifier on
     the last tap.
-  * GP_LeNet_Deeper image variant (:63-119) — unlike the AV-MNIST copy,
-    taps gp2..gp5 are pre-pool and gp1 post-pool, same as AV-MNIST; the
-    classes are structurally identical, so we reuse models/avmnist's.
+  * GP_LeNet_Deeper image variant (:63-119) — structurally identical to
+    the AV-MNIST class, so models/avmnist's is reused. ONE difference to
+    mind when wiring from the reference source: the reference MM-IMDB
+    copy returns (gp1..gp5, logits) (:119) while the reused class returns
+    (logits, gp1..gp5) — consumers here index the reused order (e.g.
+    img[1:] for taps, img[0] for logits).
   * SimpleRecurrentModel (:123-154): 2 stacked GRUs over padded GloVe
     sequences, dropout 0.666 between them, classify the last valid step.
   * Maxout / MaxOut_MLP (:160-196): maxout text net returning (o1, o3, o5).
@@ -57,7 +60,14 @@ class GP_VGG(Module):
 
 
 class SimpleRecurrentModel(Module):
-    """2xGRU text net; picks each sequence's last valid step (:140-154)."""
+    """2xGRU text net; picks each sequence's last valid step (:140-154).
+
+    Documented deviation: the reference calls functional.dropout(p=0.666)
+    between the GRUs with the default training=True, so its dropout fires
+    in EVAL too (a defect — stochastic eval logits). Here the dropout
+    honors ctx.train; the oracle parity test patches the reference's
+    always-on call out for the comparison (tests/test_reference_oracle_
+    more.py)."""
 
     def __init__(self, args, num_hidden=100, number_input_feats=100):
         super().__init__()

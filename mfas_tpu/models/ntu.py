@@ -160,8 +160,11 @@ class Skeleton(Module):
                 lambda l: l, logits)
 
         # hidden taps: elementwise max over persons of each stage,
-        # then the flattened max map and the fc7 embedding
-        hidden = [unfold_max(p1), unfold_max(p2), unfold_max(p3),
+        # then the flattened max map and the fc7 embedding. Tap 2 is the
+        # JOINT-LEVEL view of out2: the reference appends out2 AFTER its
+        # (N,C',T,V)->(N,V,T,C') permute (reference ntu.py:145-146,163)
+        p2t = jnp.transpose(p2, (0, 3, 2, 1))
+        hidden = [unfold_max(p1), unfold_max(p2t), unfold_max(p3),
                   unfold_max(out4), unfold_max(out5), unfold_max(out6),
                   out7, out8]
         return hidden, logits
