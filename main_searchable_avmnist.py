@@ -116,6 +116,8 @@ def main():
 
     if args.seed is not None:
         np.random.seed(args.seed)
+        import random
+        random.seed(args.seed)  # randsearch depth draws (stdlib)
 
     mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
         else None
@@ -127,7 +129,9 @@ def main():
     elapsed = time.time() - start_time
     print('Search complete in {:.0f}m {:.0f}s'.format(elapsed // 60, elapsed % 60))
 
-    k_best, k_accs, idx = surrogate_data.get_k_best(5)
+    # tiny smoke runs can finish with <5 unique confs in the store
+    k_best, k_accs, idx = surrogate_data.get_k_best(
+        min(5, len(surrogate_data)))
     print('Now listing best architectures')
     for conf, acc in zip(k_best, k_accs):
         print(conf.tolist(), acc)

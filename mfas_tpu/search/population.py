@@ -659,7 +659,7 @@ class PopulationTrainer:
             wm[s, :len(part)] = 1.0
         return take, wm
 
-    def _cached_bank(self, which, loader, input_keys, label_key, rng):
+    def _cached_bank(self, which, loader, input_keys, label_key):
         """Token-keyed bank cache shared by the train and dev splits: one
         extraction pass per loader identity, reused across populations
         (features are deterministic — eval-mode backbone)."""
@@ -667,7 +667,7 @@ class PopulationTrainer:
         key = self._loader_token(loader)
         if key is not None and getattr(self, key_attr) == key:
             return getattr(self, bank_attr)
-        bank = self._build_train_bank(loader, input_keys, label_key, rng)
+        bank = self._build_train_bank(loader, input_keys, label_key)
         if key is not None:
             setattr(self, bank_attr, bank)
             setattr(self, key_attr, key)
@@ -708,7 +708,7 @@ class PopulationTrainer:
                 return None
         return tok
 
-    def _eval_feature_batches(self, loader, input_keys, label_key, rng):
+    def _eval_feature_batches(self, loader, input_keys, label_key):
         """Eval-mode feature extraction over a loader, yielding
         (fa, fb, lb, la, label, wmask) per LOADER batch. With bank_batch
         set, consecutive loader batches are concatenated so the backbone
@@ -716,23 +716,26 @@ class PopulationTrainer:
         docs/TPU_DESIGN.md §5.3) and the outputs are re-split — callers
         see the same per-batch stream either way, and eval-mode forwards
         are per-sample deterministic so the features are identical."""
+        # eval-mode forwards never consume the rng's VALUE, so extraction
+        # uses a constant key and draws NOTHING from the caller's stream:
+        # a crash-resumed process that rebuilds the bank/dev cache then
+        # replays the exact per-step dropout keys of the uncrashed run
+        # (the old per-batch draws shifted every later key on rebuild),
+        # and bank_batch grouping trivially cannot perturb the stream
+        zero_key = jnp.zeros(2, jnp.uint32)
+
         def extract(items):
-            # one rng draw per LOADER batch whatever the grouping, so the
-            # shared stream (and every later train-step dropout key) is
-            # identical with and without bank_batch; eval-mode forwards
-            # never consume the key's value, only the draw count matters
-            keys = [rng.next() for _ in items]
             if len(items) == 1:
                 inputs, label, wmask = items[0]
                 fa, fb, lb, la = self._features(self.backbone_tree, inputs,
-                                                keys[0], train=False)
+                                                zero_key, train=False)
                 return [(fa, fb, lb, la, label, wmask)]
             inputs = tuple(
                 self._shard_data(jnp.concatenate(
                     [it[0][i] for it in items], axis=0))
                 for i in range(len(items[0][0])))
             fa, fb, lb, la = self._features(self.backbone_tree, inputs,
-                                            keys[0], train=False)
+                                            zero_key, train=False)
             out, off = [], 0
             for _, label, wmask in items:
                 sl = slice(off, off + int(label.shape[0]))
@@ -752,7 +755,7 @@ class PopulationTrainer:
         if buf:
             yield from extract(buf)
 
-    def _dev_batches(self, loader, input_keys, label_key, rng,
+    def _dev_batches(self, loader, input_keys, label_key,
                      cache=True, max_cache_samples=50000):
         """Yield (fa, fb, lb, la, label, wmask) for the dev split, cached
         on device after the first pass."""
@@ -765,7 +768,7 @@ class PopulationTrainer:
         collected = []
         n = 0
         for item in self._eval_feature_batches(
-                loader, input_keys, label_key, rng):
+                loader, input_keys, label_key):
             label = item[4]
             n += int(label.shape[0])
             if cache and n <= max_cache_samples:
@@ -779,7 +782,7 @@ class PopulationTrainer:
             self._dev_cache_key = key
 
     # ----- HBM-resident train-feature bank (opt-in, SURVEY §7.2.6)
-    def _build_train_bank(self, loader, input_keys, label_key, rng):
+    def _build_train_bank(self, loader, input_keys, label_key):
         """One eval-mode extraction pass over the train loader -> dict of
         per-sample device arrays (padding rows of the final batch dropped,
         so bank N == dataset_size). Stored bf16 when spec.feature_dtype is
@@ -788,7 +791,7 @@ class PopulationTrainer:
                     if self.spec.feature_dtype else jnp.float32)
         parts = {"fa": [], "fb": [], "lb": [], "la": [], "label": []}
         for fa, fb, lb, la, label, wmask in self._eval_feature_batches(
-                loader, input_keys, label_key, rng):
+                loader, input_keys, label_key):
             n = int(np.asarray(jnp.sum(wmask)))
             parts["fa"].append(fa[:n].astype(store_dt))
             parts["fb"].append(fb[:n].astype(store_dt))
@@ -869,7 +872,7 @@ class PopulationTrainer:
         bank = None
         if self.cache_train_features:
             bank = self._cached_bank("train", dataloaders["train"],
-                                     input_keys, label_key, rng)
+                                     input_keys, label_key)
         bank_rs = np.random.RandomState(seed + 17)
 
         best = np.zeros((P,))
@@ -881,7 +884,7 @@ class PopulationTrainer:
                      and dataset_sizes.get("dev", 0) <= self.MAX_DEV_BANK)
         if use_fused:
             dev_bank = self._cached_bank("dev", dataloaders["dev"],
-                                         input_keys, label_key, rng)
+                                         input_keys, label_key)
             dev_take, dev_wm = self._epoch_index_plan(
                 int(dev_bank["label"].shape[0]),
                 dataloaders["dev"].batch_size)
@@ -941,7 +944,7 @@ class PopulationTrainer:
                         correct_terms.append(corr_c)
                 else:
                     for fa, fb, lb, la, label, wmask in self._dev_batches(
-                            dataloaders["dev"], input_keys, label_key, rng):
+                            dataloaders["dev"], input_keys, label_key):
                         loss_c, corr_c = self._eval_step(
                             params, bn_state, conf, fa, fb, lb, la, label, wmask)
                         correct_terms.append(corr_c)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import random
 
 import numpy as np
 
@@ -52,6 +53,9 @@ class ModelSearcher:
         state = {
             "surrogate_data": s_data.state(),
             "np_random_state": np.random.get_state(),
+            # randsearch's depth draws come from the stdlib random module
+            # (reference tools.py:107 parity) — replay needs BOTH streams
+            "py_random_state": random.getstate(),
             "temperature": temperature,
             "si": si,
             "progression_index": progression_index,
@@ -97,6 +101,8 @@ class ModelSearcher:
             st = self.load_state(state_path)
             s_data = SurrogateDataloader.from_state(st["surrogate_data"])
             np.random.set_state(st["np_random_state"])
+            if st.get("py_random_state") is not None:
+                random.setstate(st["py_random_state"])
             temperature = st["temperature"]
             sampled_k_confs = [np.asarray(c) for c in st["sampled_k_confs"]]
             if st.get("surrogate_params") is not None:
@@ -204,9 +210,32 @@ class ModelSearcher:
         train_sampled_models = dataset_searchmethods["train_sampled_fun"]
         get_possible_layer_configurations = dataset_searchmethods["get_layer_confs"]
         shared_weights = {}
+        state_path = getattr(self.args, "search_state", None)
+
+        # crash resume: same contract as _epnas (the --search_state /
+        # --resume_search flags work in both modes)
+        resume_after = -1
+        if (getattr(self.args, "resume_search", False) and state_path
+                and os.path.exists(state_path)):
+            st = self.load_state(state_path)
+            s_data = SurrogateDataloader.from_state(st["surrogate_data"])
+            np.random.set_state(st["np_random_state"])
+            if st.get("py_random_state") is not None:
+                random.setstate(st["py_random_state"])
+            resume_after = st["si"]
+            if st.get("shared_weights") is not None:
+                shared_weights = st["shared_weights"]
+            if (st.get("trainer_seed") is not None
+                    and hasattr(train_sampled_models, "_seed")):
+                train_sampled_models._seed = st["trainer_seed"]
+            if self.args.verbose:
+                print(f"Resuming random search after iteration "
+                      f"{resume_after}")
 
         total = self.args.search_iterations * self.args.max_progression_levels
         for si in range(total):
+            if si <= resume_after:
+                continue
             if self.args.verbose:
                 print(50 * "=")
                 print("Random Search iteration {}/{} ".format(si, total))
@@ -225,6 +254,9 @@ class ModelSearcher:
                 print(list(zip(sampled_k_confs, sampled_k_accs)))
             self._log_event(kind="randsearch_step", si=si,
                             surrogate_size=len(s_data))
+            self._save_state(state_path, s_data, 0.0, si, -1, sampled_k_confs,
+                             surrogate=None, shared_weights=shared_weights,
+                             trainer=train_sampled_models)
         return s_data
 
 

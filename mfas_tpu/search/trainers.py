@@ -130,7 +130,14 @@ def get_cifar_states(model, tree, state_dict):
     (cifar_searchable.py:83-114). The reference's get_states also reads
     model.aux_classifier, an attribute that doesn't exist on its own model
     (the attribute is aux_head) — we store the aux head under the same
-    'aux_classifier' key the reference intended."""
+    'aux_classifier' key the reference intended.
+
+    REPLACE semantics, faithfully: the reference's get_states rebinds its
+    state_dict parameter to a fresh dict too (cifar_searchable.py:83-85),
+    so after each candidate the store holds ONLY that candidate's keys —
+    sharing persists just between candidates whose op choices overlap
+    consecutively. The parameter is kept (dead, like the reference's)
+    for signature parity."""
     state_dict = {}
     for c in range(len(model.cell_array)):
         cell = model.cell_array[c]
@@ -248,9 +255,16 @@ class PopulationSearchTrainer:
                 if self.sequential_fallback is None:
                     raise ValueError(
                         "weightsharing requires a sequential fallback trainer")
-                return self.sequential_fallback(
-                    sampled_configurations, searchable_type, dataloaders,
-                    args, device, state_dict=state_dict)
+                # ONE candidate-seed counter: crash-resume restores
+                # _seed on THIS wrapper (searcher.py save/load), so the
+                # fallback must consume and advance the same counter
+                self.sequential_fallback._seed = self._seed
+                try:
+                    return self.sequential_fallback(
+                        sampled_configurations, searchable_type, dataloaders,
+                        args, device, state_dict=state_dict)
+                finally:
+                    self._seed = self.sequential_fallback._seed
 
         sizes = {k: dl.dataset_size for k, dl in dataloaders.items()}
         scheduler = LRCosineAnnealingScheduler(

@@ -130,14 +130,13 @@ def test_dev_cache_used_and_invalidated_end_to_end():
     trainer._features = counting
     data = synthetic_avmnist(16)
     loader = ArrayLoader(data, 8)
-    rng = Rng(0)
-    list(trainer._dev_batches(loader, ("image", "audio"), "label", rng))
+    list(trainer._dev_batches(loader, ("image", "audio"), "label"))
     first = calls["n"]
     assert first == 2
-    list(trainer._dev_batches(loader, ("image", "audio"), "label", rng))
+    list(trainer._dev_batches(loader, ("image", "audio"), "label"))
     assert calls["n"] == first  # served from cache
     loader2 = ArrayLoader(data, 8)
-    list(trainer._dev_batches(loader2, ("image", "audio"), "label", rng))
+    list(trainer._dev_batches(loader2, ("image", "audio"), "label"))
     assert calls["n"] == 2 * first  # new object -> recomputed
 
 

@@ -130,3 +130,68 @@ def test_resume_restores_shared_weights_and_trainer_seed(tmp_path):
     final_full = t_full.stores[-1]
     final_res = t_res.stores[-1]
     assert set(final_res) == set(final_full)
+
+
+def test_randsearch_resumes_identically(tmp_path):
+    """--randsearch + --search_state/--resume_search: same contract as
+    _epnas (previously silent no-ops in randsearch mode)."""
+    state = str(tmp_path / "rs.pkl")
+
+    class RS(Searcher):
+        def run(self):
+            methods = {"train_sampled_fun": train_fn,
+                       "get_layer_confs": get_layer_confs}
+            return self._randsearch(None, None, methods)
+
+    import random as py_random
+
+    np.random.seed(0); py_random.seed(0)
+    full = RS(make_args(state)).run()
+    full_data = full.state()
+
+    # interrupted after step 1, then resumed from that snapshot
+    np.random.seed(0); py_random.seed(0)
+    s2 = RS(make_args(state))
+    s2.run()
+    shutil.copy(s2.saved_steps[1], state)
+    resumed = RS(make_args(state, resume=True)).run()
+    assert resumed.state() == full_data
+
+
+def test_population_bank_rebuild_replays_exactly(tmp_path):
+    """Crash-resume with --cache_features: a FRESH trainer that rebuilds
+    the feature bank must reproduce a warm trainer's later call exactly —
+    extraction must not consume the per-call dropout stream (the old
+    per-batch draws shifted every post-rebuild dropout key)."""
+    from mfas_tpu.core.sched import LRCosineAnnealingScheduler
+    from mfas_tpu.data.loader import ArrayLoader
+    from mfas_tpu.search.population import PopulationTrainer
+    from tests.test_avmnist_vertical import make_args as av_args, \
+        synthetic_avmnist
+    from tests.test_population_trainer import build
+
+    args = av_args(drpt=0.5)          # dropout ON: keys must line up
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(16)
+
+    def loaders():
+        return {"train": ArrayLoader(data, 8), "dev": ArrayLoader(data, 8)}
+
+    confs = [np.array([[1, 0, 0]]), np.array([[3, 1, 1]])]
+
+    def run(trainer, seed):
+        sched = LRCosineAnnealingScheduler(1e-3, 1e-6, 1, 2, 2)
+        accs, _, _ = trainer.train_population(
+            confs, loaders(), {"train": 16, "dev": 16}, sched,
+            num_epochs=1, input_keys=("image", "audio"), seed=seed)
+        return accs
+
+    warm = PopulationTrainer(spec, extractor.apply, btree,
+                             cache_train_features=True)
+    run(warm, seed=1)                  # call 1 builds the bank
+    want = run(warm, seed=2)           # call 2: bank cached, no rebuild
+
+    fresh = PopulationTrainer(spec, extractor.apply, btree,
+                              cache_train_features=True)
+    got = run(fresh, seed=2)           # resumed process: bank rebuilt
+    assert got == want
