@@ -739,49 +739,26 @@ def bench_host_input(detail):
     detail["native_input_normalize_threads"] = best[1]
 
 
-def _device_init_hangs(timeout_s=240):
-    """True when jax device init cannot complete in bounded time.
-
-    A crashed TPU client can leave the remote chip claim wedged: every
-    later ``jax.devices()`` then blocks in a silent connect-retry loop
-    (no exception, 0 CPU) — observed for hours after a
-    FAILED_PRECONDITION crash. Probing in a SUBPROCESS is the only safe
-    bound: the retry loop ignores signals-free interruption inside this
-    process. ~2 s when the backend is healthy or plain CPU."""
-    from mfas_tpu.runtime.compile_cache import tunnel_relay_dead
-    if tunnel_relay_dead():
-        return True                # relay gone: instant verdict
-    import subprocess
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True, text=True)
-        return proc.returncode != 0 or "ok" not in proc.stdout
-    except subprocess.TimeoutExpired:
-        return True
-
-
 def main():
     import tempfile
 
-    probe = (os.environ.get("MFAS_BENCH_SKIP_PROBE") != "1"
-             # a CPU-pinned run never touches the tunnel (the CLIs honor
-             # the env via runtime/compile_cache.honor_env_platforms)
-             and os.environ.get("JAX_PLATFORMS", "") != "cpu")
-    if probe and _device_init_hangs():
+    from mfas_tpu.runtime.compile_cache import device_init_hangs
+    if device_init_hangs():
         # no measurement is possible — reprint the last recorded on-chip
         # result, clearly labeled, and do NOT overwrite bench_detail.json
         here = os.path.dirname(os.path.abspath(__file__))
         try:
             with open(os.path.join(here, "bench_detail.json")) as f:
                 last = json.load(f)
-        except OSError:
-            last = {"metric": "mfas_search_speedup_vs_sequential_candidates",
-                    "value": 0.0, "unit": "x", "vs_baseline": 0.0}
+        except Exception:          # missing OR truncated/corrupt sidecar
+            last = {}
+        fb = {"metric": "mfas_search_speedup_vs_sequential_candidates",
+              "value": 0.0, "unit": "x", "vs_baseline": 0.0}
         print(json.dumps({
-            "metric": last["metric"], "value": last["value"],
-            "unit": last["unit"], "vs_baseline": last["vs_baseline"],
+            "metric": last.get("metric", fb["metric"]),
+            "value": last.get("value", fb["value"]),
+            "unit": last.get("unit", fb["unit"]),
+            "vs_baseline": last.get("vs_baseline", fb["vs_baseline"]),
             "tpu_unreachable": True,
             "note": ("device init cannot complete (TPU tunnel "
                      "down/wedged); value is a REPRINT of the last "
@@ -801,7 +778,11 @@ def main():
               "compile_cache_dir": cache_dir}
     fast = os.environ.get("MFAS_BENCH_FAST") == "1"
 
-    speedup = bench_proxy(detail)
+    try:
+        speedup = bench_proxy(detail)
+    except Exception as e:  # noqa: BLE001 — the final JSON line must print
+        detail["bench_proxy_error"] = repr(e)
+        speedup = 0.0
 
     with tempfile.TemporaryDirectory() as tmp_root:
         if not fast:
@@ -825,11 +806,13 @@ def main():
     # driver's bounded tail-capture window always parses it (the round-2
     # record had parsed:null because the prose notes outgrew the window)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+    sidecar = os.path.join(here, "bench_detail.json")
+    with open(sidecar + ".tmp", "w") as f:   # atomic: a killed run never
         json.dump({"metric": "mfas_search_speedup_vs_sequential_candidates",
                    "value": round(headline, 3), "unit": "x",
                    "vs_baseline": round(headline, 3),
-                   "detail": detail}, f, indent=1)
+                   "detail": detail}, f, indent=1)   # leaves torn JSON
+    os.replace(sidecar + ".tmp", sidecar)
 
     compact_keys = (
         "device_kind",

@@ -42,13 +42,8 @@ def parse_args():
     parser.add_argument('--random_backbones', action='store_true', default=False)
     parser.add_argument('--save_checkpoint', action='store_true', default=False)
     parser.add_argument('--profile_dir', type=str, default='')
-    parser.add_argument('--dist_coordinator', type=str, default=None,
-                        help='multi-host: host:port of process 0 '
-                             '(jax.distributed); run one process per host '
-                             'with the same flags and a unique '
-                             '--dist_process_id')
-    parser.add_argument('--dist_num_processes', type=int, default=None)
-    parser.add_argument('--dist_process_id', type=int, default=None)
+    from mfas_tpu.parallel.mesh import add_dist_args
+    add_dist_args(parser)
     return parser.parse_args()
 
 
@@ -82,14 +77,16 @@ def main():
     from mfas_tpu.data.loader import ArrayLoader
     from mfas_tpu.engine.classifier import ClassifierEngine
     from mfas_tpu.fusion.avmnist import Searchable_Audio_Image_Net
-    from mfas_tpu.parallel.mesh import make_mesh
+    from mfas_tpu.parallel.mesh import data_mesh_from_args
     from mfas_tpu.runtime import checkpoint as ckpt
     from mfas_tpu.runtime.profiler import maybe_profile
     from mfas_tpu.search.searchers import _load_backbone_tree
 
-    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
-        else None
+    mesh = data_mesh_from_args(args)
 
+    if args.conf not in FOUND_CONFS:
+        raise SystemExit(
+            f"--conf must be one of {sorted(FOUND_CONFS)} (got {args.conf})")
     configuration = FOUND_CONFS[args.conf]
     model = Searchable_Audio_Image_Net(args, configuration)
     tree = model.init(0)

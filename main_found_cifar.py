@@ -37,13 +37,8 @@ def parse_args():
                         default='0,1,-2,-1;2,3,-2,0',
                         help="rows 'op1,op2,conn1,conn2' separated by ';'")
     parser.add_argument('--save_checkpoint', action='store_true', default=False)
-    parser.add_argument('--dist_coordinator', type=str, default=None,
-                        help='multi-host: host:port of process 0 '
-                             '(jax.distributed); run one process per host '
-                             'with the same flags and a unique '
-                             '--dist_process_id')
-    parser.add_argument('--dist_num_processes', type=int, default=None)
-    parser.add_argument('--dist_process_id', type=int, default=None)
+    from mfas_tpu.parallel.mesh import add_dist_args
+    add_dist_args(parser)
     return parser.parse_args()
 
 
@@ -65,11 +60,10 @@ def main():
     from mfas_tpu.data.cifar import CifarLoader, load_cifar10_arrays
     from mfas_tpu.engine.cifar import CifarEngine
     from mfas_tpu.fusion.cifar import Searchable_MicroCNN
-    from mfas_tpu.parallel.mesh import make_mesh
+    from mfas_tpu.parallel.mesh import data_mesh_from_args
     from mfas_tpu.runtime import checkpoint as ckpt
 
-    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
-        else None
+    mesh = data_mesh_from_args(args)
 
     configuration = np.asarray(
         [[int(v) for v in row.split(',')] for row in args.conf.split(';')])

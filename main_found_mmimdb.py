@@ -40,7 +40,10 @@ def parse_args():
     parser.add_argument('--Tm', type=int, default=2)
     parser.add_argument('--feat_dim', type=int, default=300,
                         help='GloVe feature dimension of the text npy files')
-    parser.add_argument('--average_text', action='store_true', default=True)
+    parser.add_argument('--average_text',
+                        action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help='mean-pool the GloVe sequence to one 300-d vector; --no-average_text feeds the padded (T, 300) sequence path')
     parser.add_argument('--train_size', type=int, default=None)
     parser.add_argument('--dev_size', type=int, default=None)
     parser.add_argument('--test_size', type=int, default=None)
@@ -53,13 +56,8 @@ def parse_args():
                         default=False,
                         help='batch-shard over a mesh of all visible '
                              'devices (the DataParallel equivalent)')
-    parser.add_argument('--dist_coordinator', type=str, default=None,
-                        help='multi-host: host:port of process 0 '
-                             '(jax.distributed); run one process per host '
-                             'with the same flags and a unique '
-                             '--dist_process_id')
-    parser.add_argument('--dist_num_processes', type=int, default=None)
-    parser.add_argument('--dist_process_id', type=int, default=None)
+    from mfas_tpu.parallel.mesh import add_dist_args
+    add_dist_args(parser)
     return parser.parse_args()
 
 
@@ -98,6 +96,12 @@ def main():
     from mfas_tpu.core.module import tree_set, unflatten_tree
     import jax.numpy as jnp
 
+    if not args.average_text:
+        raise SystemExit(
+            "--no-average_text: every CLI --model choice consumes a "
+            "mean-pooled 300-d text vector; the padded (T, 300) sequence "
+            "path is a library-level capability (data.mm_imdb collate + "
+            "models.mm_imdb.SimpleRecurrentModel)")
     model = build_model(args)
     tree = model.init(0)
 
@@ -124,9 +128,8 @@ def main():
         sizes[stage] = len(ds)
 
     import jax
-    from mfas_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
-        else None
+    from mfas_tpu.parallel.mesh import data_mesh_from_args
+    mesh = data_mesh_from_args(args)
     engine = MMIMDBEngine(model, pos_weight=args.pos_weight,
                           th_fscore=args.th_fscore,
                           stable_bce=args.stable_bce, mesh=mesh)

@@ -101,13 +101,8 @@ def parse_args():
                         help='per-epoch resumable training state path')
     parser.add_argument('--resume', action='store_true', default=False,
                         help='resume from --train_state if present')
-    parser.add_argument('--dist_coordinator', type=str, default=None,
-                        help='multi-host: host:port of process 0 '
-                             '(jax.distributed); run one process per host '
-                             'with the same flags and a unique '
-                             '--dist_process_id')
-    parser.add_argument('--dist_num_processes', type=int, default=None)
-    parser.add_argument('--dist_process_id', type=int, default=None)
+    from mfas_tpu.parallel.mesh import add_dist_args
+    add_dist_args(parser)
     return parser.parse_args()
 
 
@@ -234,13 +229,12 @@ def main():
     import jax
     from mfas_tpu.core.module import tree_set
     from mfas_tpu.fusion.ntu import Searchable_Skeleton_Image_Net
-    from mfas_tpu.parallel.mesh import make_mesh
+    from mfas_tpu.parallel.mesh import data_mesh_from_args
     from mfas_tpu.runtime import checkpoint as ckpt
     from mfas_tpu.runtime.profiler import maybe_profile
     from mfas_tpu.search.searchers import _load_backbone_tree
 
-    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
-        else None
+    mesh = data_mesh_from_args(args)
 
     if args.conf not in FOUND_CONFS:
         raise SystemExit(f"--conf must be one of {sorted(FOUND_CONFS)} "

@@ -46,13 +46,8 @@ def parse_args():
     parser.add_argument('--search_state', type=str, default='')
     parser.add_argument('--resume_search', action='store_true', default=False)
     parser.add_argument('--jsonl_log', type=str, default='')
-    parser.add_argument('--dist_coordinator', type=str, default=None,
-                        help='multi-host: host:port of process 0 '
-                             '(jax.distributed); run one process per host '
-                             'with the same flags and a unique '
-                             '--dist_process_id')
-    parser.add_argument('--dist_num_processes', type=int, default=None)
-    parser.add_argument('--dist_process_id', type=int, default=None)
+    from mfas_tpu.parallel.mesh import add_dist_args
+    add_dist_args(parser)
     return parser.parse_args()
 
 
@@ -68,16 +63,17 @@ def main():
 
     import numpy as np
     import jax
-    from mfas_tpu.parallel.mesh import make_mesh
+    from mfas_tpu.parallel.mesh import data_mesh_from_args
     from mfas_tpu.search.searchers import CifarSearcher
 
+    from mfas_tpu.parallel.mesh import require_shared_seed
+    require_shared_seed(args)
     if args.seed is not None:
         np.random.seed(args.seed)
         import random
         random.seed(args.seed)  # randsearch depth draws (stdlib)
 
-    mesh = make_mesh() if (args.use_dataparallel and len(jax.devices()) > 1) \
-        else None
+    mesh = data_mesh_from_args(args)
     searcher = CifarSearcher(args, mesh=mesh, jsonl_log=args.jsonl_log or None)
 
     print("EPNAS for CIFAR-10 Started!!!!")

@@ -54,6 +54,39 @@ def initialize_from_args(args):
                            getattr(args, "dist_process_id", None))
 
 
+def add_dist_args(parser):
+    """The additive multi-host flag trio, shared by every CLI."""
+    parser.add_argument('--dist_coordinator', type=str, default=None,
+                        help='multi-host: host:port of process 0 '
+                             '(jax.distributed); run one process per host '
+                             'with the same flags and a unique '
+                             '--dist_process_id')
+    parser.add_argument('--dist_num_processes', type=int, default=None)
+    parser.add_argument('--dist_process_id', type=int, default=None)
+
+
+def data_mesh_from_args(args):
+    """The CLIs' DataParallel gate: a 1-D data mesh over all visible
+    devices when --use_dataparallel and >1 device, else None."""
+    if getattr(args, "use_dataparallel", False) and len(jax.devices()) > 1:
+        return make_mesh()
+    return None
+
+
+def require_shared_seed(args):
+    """Multi-host searches MUST run the same sampler trajectory on every
+    process (collective-free batch placement and single-writer state
+    saving assume it); an unseeded global np.random stream is per-process
+    OS entropy. Forces seed 0 (with a notice) when --dist_* is active and
+    no --seed was given."""
+    if (getattr(args, "dist_coordinator", None)
+            and getattr(args, "seed", None) is None):
+        args.seed = 0
+        if is_primary_process():
+            print("multi-host search without --seed: forcing --seed 0 so "
+                  "every process samples the identical trajectory")
+
+
 def is_primary_process():
     """True on the one process that should WRITE shared-filesystem
     artifacts (checkpoints, search/train state, jsonl telemetry). Params

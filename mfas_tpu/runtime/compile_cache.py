@@ -31,6 +31,54 @@ def tunnel_relay_dead():
         return True
 
 
+def device_init_hangs(timeout_s=240):
+    """True when jax device init cannot complete in bounded time.
+
+    A crashed TPU client can leave the remote chip claim wedged: every
+    later ``jax.devices()`` then blocks in a silent connect-retry loop
+    (no exception, 0 CPU) — observed for hours after a
+    FAILED_PRECONDITION crash. Order of checks:
+
+    1. backend already live IN THIS PROCESS -> False without any probe
+       (probing would spawn a SECOND concurrent chip claim against the
+       single-chip tunnel — the exact collision that wedges claims);
+    2. process pinned to CPU -> False (nothing to probe);
+    3. tunnel relay dead -> True instantly (TCP connect, no claim);
+    4. otherwise a SUBPROCESS probe bounded by ``timeout_s`` — the only
+       safe bound, since the in-process retry loop is uninterruptible.
+
+    Opt out entirely with MFAS_SKIP_DEVICE_PROBE=1."""
+    if os.environ.get("MFAS_SKIP_DEVICE_PROBE") == "1":
+        return False
+    import sys
+    jx = sys.modules.get("jax")
+    if jx is not None:
+        try:
+            from jax._src import xla_bridge
+            if xla_bridge._backends:
+                return False       # live backend: init already completed
+        except Exception:
+            pass
+        try:
+            if str(jx.config.jax_platforms or "").startswith("cpu"):
+                return False
+        except Exception:
+            pass
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return False
+    if tunnel_relay_dead():
+        return True
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return proc.returncode != 0 or "ok" not in proc.stdout
+    except subprocess.TimeoutExpired:
+        return True
+
+
 def fail_fast_on_dead_tunnel():
     """Instant TCP check of the remote-TPU tunnel relay.
 
