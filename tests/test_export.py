@@ -1,0 +1,87 @@
+"""Serving export (runtime/export.py + tools/export_model.py): the
+serialized StableHLO artifact reproduces the live model's eval forward,
+including through the torch-format checkpoint chain."""
+
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_avmnist_net():
+    from mfas_tpu.fusion.avmnist import Searchable_Audio_Image_Net
+
+    args = types.SimpleNamespace(
+        channels=4, num_outputs=10, inner_representation_size=8, drpt=0.0,
+        multitask=False, alphas=False, batchnorm=False)
+    model = Searchable_Audio_Image_Net(args, np.array([[4, 2, 1], [4, 2, 0]]))
+    return model, model.init(3)
+
+
+def test_export_roundtrip_matches_live_forward(tmp_path):
+    from mfas_tpu.core.module import Ctx
+    from mfas_tpu.runtime.export import load_exported, save_exported
+
+    model, tree = _tiny_avmnist_net()
+    rs = np.random.RandomState(0)
+    image = rs.randn(2, 1, 28, 28).astype(np.float32)
+    audio = rs.randn(2, 1, 112, 112).astype(np.float32)
+
+    def fwd(img, aud):
+        out = model.apply(tree, Ctx(train=False), (img, aud))
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    path = str(tmp_path / "m.stablehlo")
+    save_exported(path, fwd,
+                  (jax.ShapeDtypeStruct(image.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(audio.shape, jnp.float32)))
+
+    exp = load_exported(path)
+    got = np.asarray(exp.call(image, audio))
+    want = np.asarray(fwd(image, audio))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_export_cli_bakes_checkpoint_weights(tmp_path):
+    """tools/export_model.py --test_cp: the artifact carries the
+    CHECKPOINT's weights (differs from a random-init export, matches the
+    live model loaded from the same checkpoint)."""
+    from mfas_tpu.core.module import Ctx
+    from mfas_tpu.runtime import checkpoint as ckpt
+    from mfas_tpu.runtime.export import load_exported
+    from main_found_avmnist import FOUND_CONFS
+    from mfas_tpu.fusion.avmnist import Searchable_Audio_Image_Net
+
+    args = types.SimpleNamespace(
+        channels=4, num_outputs=10, inner_representation_size=8, drpt=0.0,
+        multitask=False, alphas=False, batchnorm=False)
+    model = Searchable_Audio_Image_Net(args, FOUND_CONFS[0])
+    tree = model.init(7)
+    cp = "m.checkpoint"
+    ckpt.save(ckpt.state_dict_from_tree(tree), str(tmp_path / cp))
+
+    out = str(tmp_path / "m.stablehlo")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    run = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         "avmnist", "--conf", "0", "--test_cp", cp,
+         "--checkpointdir", str(tmp_path), "--channels", "4",
+         "--inner_representation_size", "8", "--batch", "2", "--out", out],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, run.stdout + run.stderr
+
+    rs = np.random.RandomState(1)
+    image = rs.randn(2, 1, 28, 28).astype(np.float32)
+    audio = rs.randn(2, 1, 112, 112).astype(np.float32)
+    got = np.asarray(load_exported(out).call(image, audio))
+    live = model.apply(tree, Ctx(train=False), (image, audio))
+    live = np.asarray(live[0] if isinstance(live, (tuple, list)) else live)
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
