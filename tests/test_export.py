@@ -85,3 +85,31 @@ def test_export_cli_bakes_checkpoint_weights(tmp_path):
     live = model.apply(tree, Ctx(train=False), (image, audio))
     live = np.asarray(live[0] if isinstance(live, (tuple, list)) else live)
     np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-6)
+
+
+def test_export_cli_all_verticals_smoke(tmp_path):
+    """mmimdb + cifar exports (ntu/avmnist covered above) reload and run."""
+    from mfas_tpu.runtime.export import load_exported
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cases = {
+        "mmimdb": (["--model", "simplevt", "--text_first_hidden", "8",
+                    "--channels", "4", "--image_size", "32", "48"],
+                   ((2, 300), (2, 3, 32, 48)), 23),
+        "cifar": (["--planes", "8", "--net_str", "1", "1", "2"],
+                  ((2, 3, 32, 32),), 10),
+    }
+    for vertical, (extra, shapes, n_out) in cases.items():
+        out = str(tmp_path / f"{vertical}.stablehlo")
+        run = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+             vertical, "--random_init", "--batch", "2", "--out", out,
+             *extra],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert run.returncode == 0, (vertical, run.stdout + run.stderr)
+        rs = np.random.RandomState(0)
+        inputs = [rs.randn(*s).astype(np.float32) for s in shapes]
+        got = np.asarray(load_exported(out).call(*inputs))
+        assert got.shape == (2, n_out), (vertical, got.shape)
+        assert np.all(np.isfinite(got)), vertical

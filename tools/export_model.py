@@ -32,7 +32,7 @@ def _ntu(args):
     B, (fr, wl) = args.batch, args.vid_len
     d = args.vid_dim
     shapes = ((B, fr, d, d, 3), (B, 3, wl, 25, 2))
-    return model, shapes
+    return model, shapes, "tuple", 0
 
 
 def _avmnist(args):
@@ -42,12 +42,36 @@ def _avmnist(args):
     conf = FOUND_CONFS[args.conf]
     model = Searchable_Audio_Image_Net(args, conf)
     B = args.batch
-    return model, ((B, 1, 28, 28), (B, 1, 112, 112))
+    return model, ((B, 1, 28, 28), (B, 1, 112, 112)), "tuple", 0
+
+
+def _mmimdb(args):
+    from main_found_mmimdb import build_model
+
+    model = build_model(args)
+    B = args.batch
+    h, w = args.image_size
+    # mmimdb models take (text, image) splatted and return the fused
+    # logits LAST (engine/mmimdb.py _forward takes out[-1])
+    return model, ((B, args.feat_dim), (B, 3, h, w)), "splat", -1
+
+
+def _cifar(args):
+    import numpy as _np
+
+    from mfas_tpu.fusion.cifar import Searchable_MicroCNN
+
+    conf = _np.array([[int(v) for v in row.split(',')]
+                      for row in args.cifar_conf.split(';')])
+    model = Searchable_MicroCNN(args, conf, fixed=True)
+    B = args.batch
+    return model, ((B, 3, args.img_size, args.img_size),), "splat", 0
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("vertical", choices=("ntu", "avmnist"))
+    p.add_argument("vertical",
+                   choices=("ntu", "avmnist", "mmimdb", "cifar"))
     p.add_argument("--conf", type=int, default=0)
     p.add_argument("--test_cp", type=str, default="",
                    help="full found-model checkpoint to bake in")
@@ -65,10 +89,27 @@ def main(argv=None):
     p.add_argument("--batchnorm", action="store_true", default=False)
     p.add_argument("--alphas", action="store_true", default=False)
     p.add_argument("--multitask", action="store_true", default=False)
+    # mmimdb
+    p.add_argument("--model", type=str, default="vggt_centralnet_v2",
+                   help="mmimdb model name (main_found_mmimdb choices)")
+    p.add_argument("--text_first_hidden", type=int, default=512)
+    p.add_argument("--feat_dim", type=int, default=300)
+    p.add_argument("--image_size", type=int, nargs=2, default=[160, 256])
+    # cifar (found mode: conf rows 'op1,op2,conn1,conn2' joined by ';')
+    p.add_argument("--cifar_conf", type=str,
+                   default="0,1,-2,-1;2,3,-2,0",
+                   help="found-mode cell rows 'op1,op2,conn1,conn2' "
+                        "joined by ';' (conn in [-2, block))")
+    p.add_argument("--net_str", type=int, nargs="+", default=[1, 1, 2])
+    p.add_argument("--planes", type=int, default=36)
+    p.add_argument("--img_size", type=int, default=32)
+    p.add_argument("--drop_prob", type=float, default=0.0)
+    p.add_argument("--drop_path", type=float, default=0.0)
     args = p.parse_args(argv)
     args.vid_len = tuple(args.vid_len)
     if args.num_outputs is None:
-        args.num_outputs = 60 if args.vertical == "ntu" else 10
+        args.num_outputs = {"ntu": 60, "avmnist": 10, "mmimdb": 23,
+                            "cifar": 10}[args.vertical]
     if args.inner_representation_size is None:
         args.inner_representation_size = \
             128 if args.vertical == "ntu" else 16
@@ -78,7 +119,9 @@ def main(argv=None):
         enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
 
-    model, shapes = (_ntu if args.vertical == "ntu" else _avmnist)(args)
+    builders = {"ntu": _ntu, "avmnist": _avmnist, "mmimdb": _mmimdb,
+                "cifar": _cifar}
+    model, shapes, call_style, out_index = builders[args.vertical](args)
     tree = model.init(0)
     if not args.random_init:
         if not args.test_cp:
@@ -93,11 +136,12 @@ def main(argv=None):
     from mfas_tpu.runtime.export import save_exported
 
     def fwd(*inputs):
-        out = model.apply(tree, Ctx(train=False), inputs)
-        # serving surface: the fused logits (reference eval path keeps
-        # the summed multitask prediction out of the artifact — sum the
-        # heads downstream if needed)
-        return out[0] if isinstance(out, (tuple, list)) else out
+        ctx = Ctx(train=False)
+        out = (model.apply(tree, ctx, inputs) if call_style == "tuple"
+               else model.apply(tree, ctx, *inputs))
+        # serving surface: the fused logits (multitask heads and aux
+        # outputs stay out of the artifact — sum downstream if needed)
+        return out[out_index] if isinstance(out, (tuple, list)) else out
 
     structs = tuple(jax.ShapeDtypeStruct(s, np.float32) for s in shapes)
     n = save_exported(args.out, fwd, structs)
