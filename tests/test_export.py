@@ -113,3 +113,26 @@ def test_export_cli_all_verticals_smoke(tmp_path):
         got = np.asarray(load_exported(out).call(*inputs))
         assert got.shape == (2, n_out), (vertical, got.shape)
         assert np.all(np.isfinite(got)), vertical
+
+
+def test_export_polymorphic_batch(tmp_path):
+    """--polymorphic_batch: one artifact serves any batch size."""
+    from mfas_tpu.runtime.export import load_exported
+
+    out = str(tmp_path / "poly.stablehlo")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    run = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+         "avmnist", "--conf", "0", "--random_init", "--channels", "4",
+         "--inner_representation_size", "8", "--polymorphic_batch",
+         "--out", out],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert run.returncode == 0, run.stdout + run.stderr
+    exp = load_exported(out)
+    rs = np.random.RandomState(0)
+    for B in (1, 5):
+        got = np.asarray(exp.call(
+            rs.randn(B, 1, 28, 28).astype(np.float32),
+            rs.randn(B, 1, 112, 112).astype(np.float32)))
+        assert got.shape == (B, 10)

@@ -79,6 +79,9 @@ def main(argv=None):
     p.add_argument("--random_init", action="store_true", default=False)
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--polymorphic_batch", action="store_true", default=False,
+                   help="export with a SYMBOLIC batch dimension: one "
+                        "artifact serves any batch size")
     # model hyperparameters (defaults = the found-CLI defaults)
     p.add_argument("--num_outputs", type=int, default=None)
     p.add_argument("--inner_representation_size", type=int, default=None)
@@ -143,6 +146,10 @@ def main(argv=None):
         # outputs stay out of the artifact — sum downstream if needed)
         return out[out_index] if isinstance(out, (tuple, list)) else out
 
+    if args.polymorphic_batch:
+        from jax import export as jexport
+        b, = jexport.symbolic_shape("b")
+        shapes = tuple((b,) + tuple(s[1:]) for s in shapes)
     structs = tuple(jax.ShapeDtypeStruct(s, np.float32) for s in shapes)
     n = save_exported(args.out, fwd, structs)
     print(f"exported {args.vertical} conf {args.conf} -> {args.out} "
