@@ -410,3 +410,26 @@ def test_tree_set_missing_leaf_raises():
         tree_set(tree, "a.nope", jnp.ones(2))          # new leaf: refuse
     with pytest.raises(KeyError):
         tree_set(tree, "running_mean", jnp.ones(2))    # unfinalized-path bug
+
+
+def test_compiled_init_matches_eager():
+    """Module.init(compile=True) (the non-CPU-backend default: one jitted
+    program instead of ~one dispatch per leaf) draws the identical tree."""
+    import types
+
+    import numpy as np
+
+    from mfas_tpu.core import flatten_tree
+    from mfas_tpu.fusion.avmnist import Searchable_Audio_Image_Net
+
+    args = types.SimpleNamespace(channels=4, num_outputs=10,
+                                 inner_representation_size=8, drpt=0.5,
+                                 multitask=False, alphas=True,
+                                 batchnorm=False)
+    model = Searchable_Audio_Image_Net(args, np.array([[4, 2, 1], [1, 0, 0]]))
+    eager = flatten_tree(model.init(5, compile=False))
+    compiled = flatten_tree(model.init(5, compile=True))
+    assert eager.keys() == compiled.keys()
+    for k in eager:
+        np.testing.assert_array_equal(np.asarray(eager[k]),
+                                      np.asarray(compiled[k]), err_msg=k)
