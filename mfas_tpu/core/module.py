@@ -251,14 +251,25 @@ class Module:
             rng = Rng(rng)
         self.finalize(self._path)
         if compile is None:
-            compile = jax.default_backend() != "cpu"
+            # compiled init wins when dispatch count dominates (backbones:
+            # hundreds of leaves x ~ms remote dispatch each); small fusion
+            # heads pay more in per-call trace than they save
+            n_leaves = sum(len(m._direct_params) for m in self.modules())
+            compile = jax.default_backend() != "cpu" and n_leaves >= 100
         if compile:
             def build(key):
-                return self._init(Rng(key))
+                r = Rng(key)
+                tree = self._init(r)
+                # the caller's stream advances exactly as the eager path's
+                return tree, r._key
             try:
-                return jax.jit(build)(rng._key)
-            except Exception:   # a custom create() that doesn't trace
-                pass
+                tree, rng._key = jax.jit(build)(rng._key)
+                return tree
+            except Exception as e:   # a custom create() that doesn't trace
+                import warnings
+                warnings.warn(
+                    f"compiled init fell back to eager: {e!r}",
+                    RuntimeWarning, stacklevel=2)
         return self._init(rng)
 
     def _init(self, rng: Rng) -> dict:

@@ -15,10 +15,15 @@ this is the TPU-native equivalent of a TorchScript/ONNX export.
 from __future__ import annotations
 
 
-def export_eval_fn(apply_fn, example_inputs):
+def export_eval_fn(apply_fn, example_inputs,
+                   platforms=("cpu", "tpu", "cuda")):
     """Serialize ``apply_fn(*example_inputs)`` (weights already closed
     over) to bytes. ``example_inputs`` fixes shapes/dtypes; pass
-    jax.ShapeDtypeStruct leaves to avoid materializing real data."""
+    jax.ShapeDtypeStruct leaves to avoid materializing real data.
+
+    platforms: jax.export refuses to run an artifact on a platform it was
+    not lowered for — the default lowers for all three so the artifact is
+    genuinely portable (the exporting host needs none of them present)."""
     import jax
     from jax import export as jexport
 
@@ -26,12 +31,14 @@ def export_eval_fn(apply_fn, example_inputs):
         x if isinstance(x, jax.ShapeDtypeStruct)
         else jax.ShapeDtypeStruct(x.shape, x.dtype)
         for x in example_inputs)
-    exp = jexport.export(jax.jit(apply_fn))(*args)
+    exp = jexport.export(jax.jit(apply_fn),
+                         platforms=tuple(platforms))(*args)
     return exp.serialize()
 
 
-def save_exported(path, apply_fn, example_inputs):
-    data = export_eval_fn(apply_fn, example_inputs)
+def save_exported(path, apply_fn, example_inputs,
+                  platforms=("cpu", "tpu", "cuda")):
+    data = export_eval_fn(apply_fn, example_inputs, platforms=platforms)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)

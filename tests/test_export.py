@@ -97,6 +97,16 @@ def test_export_cli_all_verticals_smoke(tmp_path):
         "mmimdb": (["--model", "simplevt", "--text_first_hidden", "8",
                     "--channels", "4", "--image_size", "32", "48"],
                    ((2, 300), (2, 3, 32, 48)), 23),
+        # exercises the fusingmix/fusetype args the CentralNet variants read
+        # the CentralNet variants are shape-consistent only for specific
+        # (channels, fusingmix) combos — a reference quirk (see
+        # test_reference_oracle_more); this combo matches
+        # test_mmimdb_models.py's working config
+        "mmimdb-central": (["--model", "simplevt_centralnet",
+                            "--fusingmix", "11,23", "--fusetype", "wsum",
+                            "--text_first_hidden", "128", "--channels", "16",
+                            "--image_size", "64", "64"],
+                           ((2, 300), (2, 3, 64, 64)), 23),
         "cifar": (["--planes", "8", "--net_str", "1", "1", "2"],
                   ((2, 3, 32, 32),), 10),
     }
@@ -104,8 +114,8 @@ def test_export_cli_all_verticals_smoke(tmp_path):
         out = str(tmp_path / f"{vertical}.stablehlo")
         run = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
-             vertical, "--random_init", "--batch", "2", "--out", out,
-             *extra],
+             vertical.split("-")[0], "--random_init", "--batch", "2",
+             "--out", out, *extra],
             env=env, capture_output=True, text=True, timeout=600)
         assert run.returncode == 0, (vertical, run.stdout + run.stderr)
         rs = np.random.RandomState(0)
@@ -136,3 +146,40 @@ def test_export_polymorphic_batch(tmp_path):
             rs.randn(B, 1, 28, 28).astype(np.float32),
             rs.randn(B, 1, 112, 112).astype(np.float32)))
         assert got.shape == (B, 10)
+
+
+def test_export_is_multi_platform(tmp_path):
+    """Artifacts lower for cpu+tpu+cuda by default, so a CPU-exported
+    model runs on a TPU/GPU serving host (jax.export's platform check)."""
+    import types
+
+    from mfas_tpu.core.module import Ctx
+    from mfas_tpu.runtime.export import load_exported, save_exported
+
+    model, tree = _tiny_avmnist_net()
+
+    def fwd(img, aud):
+        out = model.apply(tree, Ctx(train=False), (img, aud))
+        return out[0] if isinstance(out, (tuple, list)) else out
+
+    path = str(tmp_path / "m.stablehlo")
+    save_exported(path, fwd,
+                  (jax.ShapeDtypeStruct((2, 1, 28, 28), jnp.float32),
+                   jax.ShapeDtypeStruct((2, 1, 112, 112), jnp.float32)))
+    exp = load_exported(path)
+    assert set(exp.platforms) >= {"cpu", "tpu", "cuda"}, exp.platforms
+
+
+def test_compiled_init_advances_rng_stream_like_eager():
+    """After init, the caller's Rng stream position matches the eager
+    path's — post-init draws are backend-independent."""
+    import numpy as np
+
+    from mfas_tpu.core.module import Rng
+
+    model, _ = _tiny_avmnist_net()
+    r1, r2 = Rng(9), Rng(9)
+    model.init(r1, compile=False)
+    model.init(r2, compile=True)
+    np.testing.assert_array_equal(np.asarray(r1.next()),
+                                  np.asarray(r2.next()))

@@ -82,10 +82,14 @@ def main(argv=None):
     p.add_argument("--polymorphic_batch", action="store_true", default=False,
                    help="export with a SYMBOLIC batch dimension: one "
                         "artifact serves any batch size")
+    p.add_argument("--platforms", type=str, default="cpu,tpu,cuda",
+                   help="comma list of serving platforms lowered into the "
+                        "artifact (jax.export multi-platform)")
     # model hyperparameters (defaults = the found-CLI defaults)
     p.add_argument("--num_outputs", type=int, default=None)
     p.add_argument("--inner_representation_size", type=int, default=None)
-    p.add_argument("--channels", type=int, default=32)
+    p.add_argument("--channels", type=int, default=None,
+                   help="default: the vertical's found-CLI default")
     p.add_argument("--vid_len", type=int, nargs="+", default=[8, 32])
     p.add_argument("--vid_dim", type=int, default=256)
     p.add_argument("--drpt", type=float, default=0.0)
@@ -96,6 +100,8 @@ def main(argv=None):
     p.add_argument("--model", type=str, default="vggt_centralnet_v2",
                    help="mmimdb model name (main_found_mmimdb choices)")
     p.add_argument("--text_first_hidden", type=int, default=512)
+    p.add_argument("--fusingmix", type=str, default="13,24")
+    p.add_argument("--fusetype", type=str, default="cat")
     p.add_argument("--feat_dim", type=int, default=300)
     p.add_argument("--image_size", type=int, nargs=2, default=[160, 256])
     # cifar (found mode: conf rows 'op1,op2,conn1,conn2' joined by ';')
@@ -114,8 +120,11 @@ def main(argv=None):
         args.num_outputs = {"ntu": 60, "avmnist": 10, "mmimdb": 23,
                             "cifar": 10}[args.vertical]
     if args.inner_representation_size is None:
-        args.inner_representation_size = \
-            128 if args.vertical == "ntu" else 16
+        # the found-CLI defaults (main_found_ntu.py / main_found_avmnist.py)
+        args.inner_representation_size = 256
+    if args.channels is None:
+        # avmnist found CLI default 32; mmimdb found CLI default 512
+        args.channels = 512 if args.vertical == "mmimdb" else 32
     args.num_classes = args.num_outputs
 
     from mfas_tpu.runtime.compile_cache import \
@@ -151,7 +160,8 @@ def main(argv=None):
         b, = jexport.symbolic_shape("b")
         shapes = tuple((b,) + tuple(s[1:]) for s in shapes)
     structs = tuple(jax.ShapeDtypeStruct(s, np.float32) for s in shapes)
-    n = save_exported(args.out, fwd, structs)
+    platforms = tuple(p_ for p_ in args.platforms.split(",") if p_)
+    n = save_exported(args.out, fwd, structs, platforms=platforms)
     print(f"exported {args.vertical} conf {args.conf} -> {args.out} "
           f"({n} bytes, inputs {[tuple(s) for s in shapes]})")
 
