@@ -89,8 +89,10 @@ def test_avmnist_end_to_end_training_improves():
         tree, None, loaders, sizes, sched, num_epochs=8, print_loss=False)
     assert acc > 0.2  # chance is 0.1
 
+    # the best-dev snapshot re-evaluated on the SAME loader in eval mode
+    # must reproduce the best dev accuracy exactly (deterministic eval)
     test_acc = engine.test_track_acc(best_tree, loaders["dev"], sizes["dev"])
-    assert test_acc == pytest.approx(acc, abs=1e-6) or test_acc > 0.2
+    assert test_acc == pytest.approx(acc, abs=1e-6)
 
 
 def test_frozen_backbone_central_only_training():

@@ -4,10 +4,12 @@ ResNet-50 checkpoint converts to a loadable inflated-3D backbone checkpoint
 our ResNet3D mirrors its module names)."""
 
 import subprocess
+import os
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
-import pytest
 
 from mfas_tpu.core.module import flatten_tree
 from mfas_tpu.models.resnet3d import inflated_resnet50
@@ -43,10 +45,10 @@ def test_resnet50_inflate_cli(tmp_path):
     out = subprocess.run(
         [sys.executable, "tools/convert_torchvision.py", "resnet50_inflate",
          "--src", str(src), "--dst", str(dst)],
-        capture_output=True, text=True, cwd="/root/repo",
-        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
-             "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": "/root/repo"})
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": REPO + os.pathsep
+             + os.environ.get("PYTHONPATH", "")})
     assert out.returncode == 0, out.stderr
     assert "wrote" in out.stdout
 

@@ -1,6 +1,5 @@
 """Data-layer tests: parsers, transforms, loaders (SURVEY.md §4.3/§4.5)."""
 
-import os
 
 import numpy as np
 import pytest

@@ -47,7 +47,7 @@ def test_data_parallel_training_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_mmimdb_engine_mesh_matches_single_device():
+def test_mmimdb_engine_mesh_matches_single_device(tmp_path):
     """MMIMDBEngine under the data mesh (main_found_mmimdb
     --use_dataparallel): best-dev F1, test F1, and final params match the
     single-device run."""
@@ -58,8 +58,7 @@ def test_mmimdb_engine_mesh_matches_single_device():
     from mfas_tpu.models import mm_imdb as M
     import types
 
-    import tempfile
-    tmp = tempfile.mkdtemp()
+    tmp = str(tmp_path)
     for stage, n in (("train", 16), ("dev", 8), ("test", 8)):
         make_synthetic_mmimdb(tmp, stage, n=n, feat_dim=300, num_labels=5)
     args = types.SimpleNamespace(num_outputs=5, channels=4)

@@ -29,7 +29,6 @@ def test_bank_matches_direct_eval_features():
 
     trainer = PopulationTrainer(spec, extractor.apply, btree,
                                 cache_train_features=True)
-    from mfas_tpu.core.module import Rng
     bank = trainer._build_train_bank(loader, ("image", "audio"), "label")
     assert int(bank["fa"].shape[0]) == 21
     np.testing.assert_array_equal(np.asarray(bank["label"]), data["label"])
@@ -51,7 +50,6 @@ def test_bank_batches_cover_dataset_with_mask():
     loader = ArrayLoader(data, 8)
     trainer = PopulationTrainer(spec, extractor.apply, btree,
                                 cache_train_features=True)
-    from mfas_tpu.core.module import Rng
     bank = trainer._build_train_bank(loader, ("image", "audio"), "label")
     rs = np.random.RandomState(0)
     seen = []
@@ -164,7 +162,6 @@ def test_bank_batch_grouped_extraction_identical():
     """--bank_batch groups loader batches for the eval-mode backbone
     forward (larger MXU batches); the bank and the dev feature stream must
     be identical to the ungrouped path, including the ragged tail group."""
-    from mfas_tpu.core.module import Rng
 
     args = make_args(drpt=0.0)
     spec, extractor, btree = build(args)

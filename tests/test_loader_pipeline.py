@@ -112,7 +112,6 @@ def test_dev_cache_token_new_loader_invalidates():
 def test_dev_cache_used_and_invalidated_end_to_end():
     """Same loader object -> backbone features computed once; new loader
     object -> recomputed."""
-    from mfas_tpu.core.module import Rng
     from mfas_tpu.search.population import PopulationSpec, PopulationTrainer
     from tests.test_avmnist_vertical import make_args, synthetic_avmnist
     from tests.test_population_trainer import build

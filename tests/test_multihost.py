@@ -141,9 +141,14 @@ def _spawn_two(child_src, extra_env=None):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:   # a wedged distributed barrier must not leak
+            if p.poll() is None:
+                p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     return outs
@@ -328,9 +333,14 @@ def test_two_process_cli_found_avmnist(tmp_path):
         env=env_for(2), stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for pid in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
 

@@ -97,7 +97,6 @@ def test_population_matches_single_candidate_forward():
     fa_, fb_, lb_, la_ = trainer._features(btree, inputs,
                                            jnp.zeros(2, jnp.uint32), train=False)
     enc = {k: jnp.asarray(v) for k, v in encode_confs([conf], spec).items()}
-    loss_c, corr_c = None, None
     from mfas_tpu.search.population import _candidate_forward
     got, _ = _candidate_forward(spec,
                                 {k: v[0] for k, v in params.items()},

@@ -66,9 +66,20 @@ def test_population_weightsharing_carries_across_calls():
     # (inject) and update them again (extract)
     accs2 = trainer([conf], fa.Searchable_Audio_Image_Net, loaders, args,
                     state_dict=shared)
-    assert not np.array_equal(shared[key]["0"]["weight"], w_after_first) or \
-        True  # weights may coincide only if training is a no-op
+    # extract-after: real training (lr > 0) must update the stored weights
+    assert not np.array_equal(shared[key]["0"]["weight"], w_after_first)
     assert len(accs1) == len(accs2) == 1
+
+    # inject-before: with lr == 0 the extracted weights are EXACTLY the
+    # injected ones — pins that the store actually flows into the model
+    # (a silent inject no-op would extract fresh random init instead)
+    import copy as _copy
+    frozen_args = _copy.copy(args)
+    frozen_args.eta_max = frozen_args.eta_min = 0.0
+    before = shared[key]["0"]["weight"].copy()
+    trainer([conf], fa.Searchable_Audio_Image_Net, loaders, frozen_args,
+            state_dict=shared)
+    np.testing.assert_array_equal(shared[key]["0"]["weight"], before)
 
 
 # --------------------------------------------------------------------------

@@ -21,6 +21,8 @@ import sys
 import types
 
 import numpy as np
+
+from tests.test_reference_oracle import _sd_numpy  # noqa: E402
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -55,13 +57,6 @@ def ref():
     import models.search.cifar_searchable as ref_cifar
     return types.SimpleNamespace(imdb=ref_imdb, cifar=ref_cifar,
                                  central_ntu=ref_central_ntu)
-
-
-def _sd_numpy(model):
-    # .copy(): jax CPU asarray may alias numpy memory while torch mutates
-    # BN buffers in place on the same storage
-    return {k: v.detach().cpu().numpy().copy()
-            for k, v in model.state_dict().items()}
 
 
 def _assert_close(ours, theirs, rtol=1e-4, atol=1e-5, msg=""):

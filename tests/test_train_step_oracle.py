@@ -10,7 +10,6 @@ so the Adam moment accumulation and bias correction are exercised, not
 just the first-step special case.
 """
 
-import sys
 import types
 
 import numpy as np

@@ -53,6 +53,12 @@ def vgg19_trunk(src, dst):
 
 
 def main():
+    # same init hook as every CLI: honor JAX_PLATFORMS against the TPU
+    # sitecustomize's programmatic forcing (a converter should run on the
+    # host CPU) and fail fast on a dead tunnel instead of hanging
+    from mfas_tpu.runtime.compile_cache import \
+        enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("mode", choices=["resnet50_inflate", "vgg19_trunk"])
     parser.add_argument("--src", required=True)
