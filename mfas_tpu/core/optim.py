@@ -52,7 +52,14 @@ def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
     zero-tensor grad would still decay the moments where we freeze them;
     that residual mismatch is accepted as the cost of detecting
     disconnection without graph introspection. Off by default for the
-    frozen-backbone engines whose trainable sets are all connected."""
+    frozen-backbone engines whose trainable sets are all connected.
+
+    Parity caveat (ADVICE r3): state['step'] is shared across leaves while
+    torch keeps a per-param step count. A leaf that is disconnected for
+    its first K steps and later becomes connected therefore sees bias
+    corrections for step t, where torch would use t-K — so parity holds
+    only for PERMANENTLY disconnected submodules (the case this flag
+    exists for: fusion confs that never route through a module)."""
     b1, b2 = betas
     step = state["step"] + 1
     t = step.astype(jnp.float32)

@@ -77,10 +77,18 @@ def require_shared_seed(args):
     """Multi-host searches MUST run the same sampler trajectory on every
     process (collective-free batch placement and single-writer state
     saving assume it); an unseeded global np.random stream is per-process
-    OS entropy. Forces seed 0 (with a notice) when --dist_* is active and
-    no --seed was given."""
-    if (getattr(args, "dist_coordinator", None)
-            and getattr(args, "seed", None) is None):
+    OS entropy. Forces seed 0 (with a notice) whenever the run is
+    actually multi-process and no --seed was given — gated on
+    jax.process_count() rather than the presence of --dist_* flags,
+    because on Cloud TPU pod slices jax auto-initializes multi-host with
+    no flags at all (MIGRATION.md) and those runs need the guard most."""
+    multi = getattr(args, "dist_coordinator", None) is not None
+    if not multi:
+        try:
+            multi = jax.process_count() > 1
+        except Exception:
+            multi = False
+    if multi and getattr(args, "seed", None) is None:
         args.seed = 0
         if is_primary_process():
             print("multi-host search without --seed: forcing --seed 0 so "

@@ -283,6 +283,8 @@ def _wrap_tensors(obj, counter, store):
         return int(obj)
     if isinstance(obj, (np.floating,)):
         return float(obj)
+    if isinstance(obj, np.bool_):
+        return bool(obj)
     if isinstance(obj, np.ndarray) or (hasattr(obj, "dtype")
                                        and hasattr(obj, "shape")):
         arr = np.asarray(obj)

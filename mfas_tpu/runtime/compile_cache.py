@@ -10,7 +10,17 @@ opt out with MFAS_COMPILE_CACHE=0, redirect with MFAS_COMPILE_CACHE_DIR.
 
 from __future__ import annotations
 
+import json
 import os
+import time
+
+
+def single_chip_tunnel():
+    """True on the tunneled-single-chip deployment (the axon pool tunnels
+    exactly one TPU): any request for >1 devices can never be served by
+    the live backend there, so callers can skip TPU probing/init entirely
+    and go straight to a CPU-virtual-device path."""
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
 
 
 def tunnel_relay_dead():
@@ -31,7 +41,36 @@ def tunnel_relay_dead():
         return True
 
 
-def device_init_hangs(timeout_s=240):
+def _probe_verdict_path():
+    d = (os.environ.get("MFAS_PROBE_CACHE_DIR")
+         or os.path.expanduser("~/.cache/mfas_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "device_probe.json")
+
+
+def _read_cached_verdict(ttl_s):
+    try:
+        with open(_probe_verdict_path()) as f:
+            rec = json.load(f)
+        if time.time() - float(rec["t"]) < ttl_s:
+            return bool(rec["hangs"])
+    except Exception:
+        pass
+    return None
+
+
+def _write_cached_verdict(hangs):
+    path = _probe_verdict_path()
+    tmp = f"{path}.tmp-{os.getpid()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"t": time.time(), "hangs": bool(hangs)}, f)
+        os.replace(tmp, path)      # atomic: concurrent readers never see
+    except OSError:                # torn JSON; a failed write just means
+        pass                       # the next caller re-probes
+
+
+def device_init_hangs(timeout_s=None, verdict_ttl_s=600):
     """True when jax device init cannot complete in bounded time.
 
     A crashed TPU client can leave the remote chip claim wedged: every
@@ -44,12 +83,19 @@ def device_init_hangs(timeout_s=240):
        single-chip tunnel — the exact collision that wedges claims);
     2. process pinned to CPU -> False (nothing to probe);
     3. tunnel relay dead -> True instantly (TCP connect, no claim);
-    4. otherwise a SUBPROCESS probe bounded by ``timeout_s`` — the only
-       safe bound, since the in-process retry loop is uninterruptible.
+    4. a cached verdict younger than ``verdict_ttl_s`` -> reuse it (the
+       driver runs bench and the multichip dryrun back to back; only the
+       first pays the probe);
+    5. otherwise a SUBPROCESS probe bounded by ``timeout_s`` (default 30 s
+       — a healthy tunnel inits in seconds; MFAS_DEVICE_PROBE_TIMEOUT
+       overrides) — a subprocess is the only safe bound, since the
+       in-process retry loop is uninterruptible. The verdict is cached.
 
     Opt out entirely with MFAS_SKIP_DEVICE_PROBE=1."""
     if os.environ.get("MFAS_SKIP_DEVICE_PROBE") == "1":
         return False
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("MFAS_DEVICE_PROBE_TIMEOUT", 30))
     import sys
     jx = sys.modules.get("jax")
     if jx is not None:
@@ -68,15 +114,20 @@ def device_init_hangs(timeout_s=240):
         return False
     if tunnel_relay_dead():
         return True
+    cached = _read_cached_verdict(verdict_ttl_s)
+    if cached is not None:
+        return cached
     import subprocess
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
              "import jax; jax.devices(); print('ok')"],
             timeout=timeout_s, capture_output=True, text=True)
-        return proc.returncode != 0 or "ok" not in proc.stdout
+        hangs = proc.returncode != 0 or "ok" not in proc.stdout
     except subprocess.TimeoutExpired:
-        return True
+        hangs = True
+    _write_cached_verdict(hangs)
+    return hangs
 
 
 def fail_fast_on_dead_tunnel():
@@ -134,6 +185,13 @@ def enable_persistent_compilation_cache(path: str | None = None,
             or os.environ.get("MFAS_COMPILE_CACHE_DIR")
             or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or os.path.expanduser("~/.cache/mfas_tpu/xla"))
+    # key by host CPU features: CPU-backend entries embed AOT code compiled
+    # for this host's ISA extensions (AMX, prefer-no-gather, ...); served
+    # to a different machine (image copy, rsync) they fail to load with
+    # cpu_aot_loader errors — or worse, SIGILL. Same fix as the native IO
+    # library's .so tag (data/native.py:_host_tag).
+    from mfas_tpu.data.native import _host_tag
+    path = os.path.join(path, f"host-{_host_tag()}")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
