@@ -438,6 +438,10 @@ def bench_search_wallclock(detail, tmp_root):
         "pop_cached_resident",
         lambda: run_search(searcher=cached_searcher)[0],
         lambda: run_search(searcher=cached_searcher)[0])
+    # bf16 features are the default under --cache_features (round 4;
+    # ranking agreement rho=1.0, docs/PARITY.md) — label what was measured
+    detail["cached_search_feature_dtype"] = str(
+        cached_searcher.train_fn.trainer.spec.feature_dtype or "float32")
 
     # MEASURED sequential wall-clock: one full --sequential_candidates
     # EPNAS run of the SAME config — the reference's candidate loop run

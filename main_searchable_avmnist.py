@@ -55,6 +55,16 @@ def parse_args():
                              'frozen-backbone features once (eval mode) and '
                              'gather shuffled batches from the bank every '
                              'epoch/population')
+    parser.add_argument('--bf16_features', action='store_true', default=False,
+                        help='bfloat16 frozen-backbone features during search '
+                             '(the default whenever --cache_features is on; '
+                             'this flag forces bf16 even without the bank)')
+    parser.add_argument('--f32_features', action='store_true', default=False,
+                        help='force float32 frozen-backbone features, '
+                             'overriding the bf16-under---cache_features '
+                             'default (ranking agreement bf16 vs f32 is '
+                             'measured in tests/test_feature_bank.py and '
+                             'docs/PARITY.md)')
     parser.add_argument('--shard_feature_bank', action='store_true',
                         default=False,
                         help='with --cache_features on a data-axis mesh: '

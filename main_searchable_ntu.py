@@ -98,7 +98,15 @@ def parse_args():
     parser.add_argument('--resume_search', action='store_true', default=False,
                         help='resume from --search_state if it exists')
     parser.add_argument('--bf16_features', action='store_true', default=False,
-                        help='bfloat16 frozen-backbone features during search')
+                        help='bfloat16 frozen-backbone features during search '
+                             '(the default whenever --cache_features is on; '
+                             'this flag forces bf16 even without the bank)')
+    parser.add_argument('--f32_features', action='store_true', default=False,
+                        help='force float32 frozen-backbone features, '
+                             'overriding the bf16-under---cache_features '
+                             'default (ranking agreement bf16 vs f32 is '
+                             'measured in tests/test_feature_bank.py and '
+                             'docs/PARITY.md)')
     parser.add_argument('--cache_features', action='store_true', default=False,
                         help='HBM-resident train-feature bank: extract '
                              'frozen-backbone features once (eval mode), '

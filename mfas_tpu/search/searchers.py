@@ -41,6 +41,26 @@ def _load_backbone_tree(path, template, random_ok=False):
         "to smoke-test without pretrained weights")
 
 
+def _feature_dtype(args):
+    """Frozen-backbone feature dtype for the population trainer.
+
+    Candidate scoring only ever consumes FROZEN backbone features
+    (reference models/search/ntu_searchable.py:59-62 detaches them), so
+    precision there affects ranking, not the final found-arch weights.
+    bf16 halves the HBM-resident bank and the gather traffic, and the
+    measured bf16-vs-f32 ranking agreement is clean
+    (tests/test_feature_bank.py::test_bf16_features_ranking_agreement,
+    docs/PARITY.md) — so bf16 is the DEFAULT whenever --cache_features
+    builds the bank. --f32_features restores exact float32;
+    --bf16_features forces bf16 even for the recompute-every-batch path."""
+    if getattr(args, "f32_features", False):
+        return None
+    if (getattr(args, "bf16_features", False)
+            or getattr(args, "cache_features", False)):
+        return "bfloat16"
+    return None
+
+
 class AVMNISTSearcher(ModelSearcher):
     """Reference models/searchable.py:184-224: train[0:50000] for search
     training, train[50000:55000] as dev."""
@@ -83,7 +103,8 @@ class AVMNISTSearcher(ModelSearcher):
             sizes_a=tuple(sizes_aud), sizes_b=tuple(sizes_ims),
             hidden=args.inner_representation_size, num_outputs=args.num_outputs,
             max_rows=args.max_progression_levels, batchnorm=False,
-            drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask)
+            drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask,
+            feature_dtype=_feature_dtype(args))
 
         seq = SequentialSearchTrainer(backbone_tree, ("image", "audio"),
                                       mesh=mesh)
@@ -216,8 +237,7 @@ class NTUSearcher(ModelSearcher):
             hidden=args.inner_representation_size, num_outputs=args.num_outputs,
             max_rows=args.max_progression_levels, batchnorm=args.batchnorm,
             drpt=args.drpt, use_alphas=args.alphas, multitask=args.multitask,
-            feature_dtype="bfloat16" if getattr(args, "bf16_features", False)
-            else None)
+            feature_dtype=_feature_dtype(args))
 
         batch_prep = inputs_prep = None
         if dev_norm:

@@ -203,6 +203,62 @@ def test_bank_batch_grouped_extraction_identical():
     # uncrashed run's exact dropout keys
 
 
+def test_feature_dtype_default_logic():
+    """bf16 is the default under --cache_features; --f32_features opts out;
+    --bf16_features forces it without the bank (VERDICT r3 next-5)."""
+    import types
+
+    from mfas_tpu.search.searchers import _feature_dtype
+
+    def a(**kw):
+        return types.SimpleNamespace(**kw)
+
+    assert _feature_dtype(a()) is None
+    assert _feature_dtype(a(cache_features=True)) == "bfloat16"
+    assert _feature_dtype(a(cache_features=True, f32_features=True)) is None
+    assert _feature_dtype(a(bf16_features=True)) == "bfloat16"
+    assert _feature_dtype(a(bf16_features=True, f32_features=True)) is None
+
+
+def test_bf16_features_ranking_agreement():
+    """The study behind the bf16-under---cache_features default: train the
+    SAME candidate set (identical seeds, shuffles, LR) with f32 and bf16
+    frozen features and measure candidate-accuracy ranking agreement.
+    Candidate scoring only ever consumes frozen features (reference
+    models/search/ntu_searchable.py:59-62), so this rho is the entire
+    risk surface of the dtype switch. Measured value recorded in
+    docs/PARITY.md."""
+    import dataclasses
+
+    from tests.test_population_weightsharing import _spearman
+
+    rows = fa.get_possible_layer_configurations(0)
+    confs = [np.asarray([r]) for r in rows[::3]]          # 10 candidates
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    data = synthetic_avmnist(96)
+
+    accs = {}
+    for dt in (None, "bfloat16"):
+        loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+                   "dev": ArrayLoader(data, 8)}
+        sizes = {k: v.dataset_size for k, v in loaders.items()}
+        trainer = PopulationTrainer(
+            dataclasses.replace(spec, feature_dtype=dt),
+            extractor.apply, btree, cache_train_features=True)
+        a, _, _ = trainer.train_population(
+            confs, loaders, sizes, FixedScheduler(1e-2), num_epochs=4,
+            input_keys=("image", "audio"), seed=3)
+        accs[dt] = np.asarray(a)
+
+    rho = _spearman(accs[None], accs["bfloat16"])
+    print(f"bf16-vs-f32 feature ranking: rho={rho:.3f} "
+          f"f32={accs[None]} bf16={accs['bfloat16']}")
+    # the measured value (PARITY.md) is ~1.0; the floor guards against a
+    # real ranking regression while tolerating tiny-scale tie noise
+    assert rho > 0.7, (rho, accs)
+
+
 def test_bf16_feature_bank_trains():
     """--bf16_features + --cache_features (the recommended fast search
     config): the bank stores bfloat16, the fused scan casts gathers back
