@@ -645,6 +645,22 @@ def bench_e2e_input(detail, tmp_root):
     detail["e2e_config"] = {"batch": B, "img": IMG, "n_samples": n,
                             "num_workers": 4, "device_normalize": True}
 
+    # H2D strategy experiment (VERDICT r3 next-4): split each batch's
+    # transfer into N device_puts issued from the prefetch thread
+    # (data/loader.chunked_device_put). If smaller puts interleave with
+    # the running step, epoch time drops toward the h2d bound and the
+    # old serialization was the LOADER's single blocking put; if it is
+    # unchanged (or worse), the serialization is the transport's.
+    chunk_runs = {}
+    for n_chunks in (2, 4):
+        engine.h2d_chunks = n_chunks
+        epoch()                          # warm the concat programs
+        c1, _ = epoch()
+        c2, _ = epoch()
+        chunk_runs[str(n_chunks)] = round(nb * B / min(c1, c2), 2)
+    engine.h2d_chunks = None
+    detail["e2e_train_clips_per_s_chunked"] = chunk_runs
+
     # breakdown: where does the e2e epoch go? (a) host produce+collate
     # only (no device), (b) compiled step only on one resident batch —
     # together with the raw H2D transfer below these explain any gap to

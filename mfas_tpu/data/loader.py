@@ -63,6 +63,33 @@ class ArrayLoader:
             yield batch
 
 
+def chunked_device_put(x, n_chunks, min_bytes=1 << 20):
+    """H2D transfer split into ``n_chunks`` device_puts along the leading
+    axis, re-joined ON DEVICE by a concatenate.
+
+    The experiment interface for transports that serialize one large
+    device_put against program execution (observed on the remote-tunneled
+    single-chip backend: e2e epoch ~= step + transfer even with a prefetch
+    thread): N smaller transfers *can* slot into gaps between dispatched
+    step programs where a monolithic put cannot — if the serialization
+    lives in the loader's single blocking put. If epoch time is unchanged,
+    the serialization is the transport's. bench.py's e2e section records
+    both (``e2e_train_clips_per_s_chunked``); on a locally-attached device
+    this only adds a device-side concat copy, so the default stays off
+    (enable per-engine via ``h2d_chunks`` / env MFAS_H2D_CHUNKS).
+
+    Small arrays (labels, masks, < ``min_bytes``) and arrays with fewer
+    rows than chunks go through one plain put."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(x)
+    if n_chunks <= 1 or x.nbytes < min_bytes or x.shape[0] < n_chunks:
+        return jnp.asarray(x)
+    pieces = np.array_split(x, n_chunks, axis=0)
+    return jnp.concatenate([jax.device_put(p) for p in pieces], axis=0)
+
+
 def prefetch_to_device(iterator, size=2, sharding=None, place=None):
     """Host->device prefetch on a background thread: batch N+1's host
     collation and (async) H2D transfer run while the consumer dispatches

@@ -21,6 +21,8 @@ replicated — XLA inserts the ICI all-reduce (replacing DataParallel).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -48,13 +50,18 @@ def split_tree(model, tree, trainable_prefixes=None):
     return partition(tree, pred)
 
 
-def place_batch(batch, mesh):
+def place_batch(batch, mesh, h2d_chunks=None):
     """Host batch -> device/mesh placement (shared by every engine).
     Under a mesh, host arrays go straight to their shards
     (device_put_global); a jnp.asarray hop first would stage the full
-    batch on one device before resharding."""
+    batch on one device before resharding. ``h2d_chunks`` splits large
+    single-device transfers (data/loader.chunked_device_put experiment)."""
     if mesh is not None:
         return pm.shard_batch(batch, mesh)
+    if h2d_chunks:
+        from mfas_tpu.data.loader import chunked_device_put
+        return {k: chunked_device_put(v, h2d_chunks)
+                for k, v in batch.items()}
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
@@ -63,7 +70,7 @@ class ClassifierEngine:
                  input_keys=("image", "audio"), label_key="label",
                  mesh=None, donate=False, remat=False, compute_dtype=None,
                  batch_prep=None, initial_best_acc=0.0,
-                 adam_skip_disconnected=False):
+                 adam_skip_disconnected=False, h2d_chunks=None):
         # donate: donate trainable/opt buffers into the train step (halves
         # their HBM footprint); best-dev snapshots are then deep-copied so
         # they never alias a donated buffer (_snapshot)
@@ -90,6 +97,11 @@ class ClassifierEngine:
         # whole-net training with dead submodules: torch leaves grad-None
         # params unstepped — replicate via skip_disconnected (core/optim.py)
         self.adam_skip_disconnected = adam_skip_disconnected
+        # h2d_chunks: split each batch's H2D transfer into N puts (see
+        # data/loader.chunked_device_put); env MFAS_H2D_CHUNKS overrides
+        # so the experiment needs no code change at any call site
+        env_chunks = os.environ.get("MFAS_H2D_CHUNKS")
+        self.h2d_chunks = int(env_chunks) if env_chunks else h2d_chunks
         self._donate = bool(donate)
 
         self._train_step = jax.jit(
@@ -176,7 +188,7 @@ class ClassifierEngine:
         return jax.tree_util.tree_map(jnp.copy, tree)
 
     def _place(self, batch):
-        return place_batch(batch, self.mesh)
+        return place_batch(batch, self.mesh, h2d_chunks=self.h2d_chunks)
 
     def _prefetched(self, loader, size=2):
         """Yield (n_valid, device_batch) with collation + H2D running one

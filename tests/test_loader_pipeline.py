@@ -209,3 +209,74 @@ def test_packed_ntu_bare_transform_gets_per_sample_rng(tmp_path):
     c = ds.getitem_seeded(1, 456)
     assert a["rgb"].shape != c["rgb"].shape or \
         not np.array_equal(a["rgb"], c["rgb"])
+
+
+def test_chunked_device_put_matches_plain_put():
+    """chunked_device_put (the H2D-serialization experiment, bench e2e
+    section) is a pure placement strategy: values, dtype, and shape must
+    be identical to a single jnp.asarray, for chunked large arrays,
+    small-array passthrough, and fewer-rows-than-chunks passthrough."""
+    import jax.numpy as jnp
+
+    from mfas_tpu.data.loader import chunked_device_put
+
+    big = np.random.RandomState(0).randint(
+        0, 255, (16, 64, 64, 3), np.uint8)
+    got = chunked_device_put(big, 4, min_bytes=1024)
+    assert got.dtype == jnp.uint8 and got.shape == big.shape
+    np.testing.assert_array_equal(np.asarray(got), big)
+
+    small = np.arange(16, dtype=np.float32)
+    got_small = chunked_device_put(small, 4, min_bytes=1024)
+    np.testing.assert_array_equal(np.asarray(got_small), small)
+
+    short = np.random.randn(2, 1024, 1024).astype(np.float32)
+    got_short = chunked_device_put(short, 4, min_bytes=1024)
+    np.testing.assert_array_equal(np.asarray(got_short), short)
+
+
+def test_engine_h2d_chunks_trains_identically():
+    """An engine with h2d_chunks set must produce the exact same training
+    trajectory as the default single-put placement (same params after an
+    epoch) — the strategy changes transfer granularity, nothing else."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from mfas_tpu.core.module import partition
+    from mfas_tpu.core.optim import adam_init
+    from mfas_tpu.core.sched import FixedScheduler
+    from mfas_tpu.engine.classifier import ClassifierEngine
+    from mfas_tpu.fusion import avmnist as fa
+
+    args = types.SimpleNamespace(channels=4, num_outputs=10,
+                                 inner_representation_size=8, drpt=0.0,
+                                 multitask=False, alphas=False,
+                                 batchnorm=False)
+    rs = np.random.RandomState(0)
+    n = 32                  # audio batches are 32*112*112*4 B = 1.6 MB --
+    data = {"image": rs.randn(n, 1, 28, 28).astype(np.float32),
+            "audio": rs.randn(n, 1, 112, 112).astype(np.float32),
+            "label": rs.randint(0, 10, n).astype(np.int64)}
+
+    results = {}
+    for chunks in (None, 4):
+        model = fa.Searchable_Audio_Image_Net(args, np.array([[4, 2, 0]]))
+        tree = model.init(0)
+        engine = ClassifierEngine(model, input_keys=("image", "audio"),
+                                  h2d_chunks=chunks)
+        # -- above chunked_device_put's 1 MB floor, so the engine path
+        # genuinely chunks (image/label stay single-put: mixed placement)
+        loaders = {"train": ArrayLoader(data, n, shuffle=True, seed=1),
+                   "dev": ArrayLoader(data, n)}
+        acc, best = engine.train_track_acc(
+            tree, None, loaders, {k: n for k in loaders},
+            FixedScheduler(1e-2), num_epochs=1, seed=0)
+        results[chunks] = (acc, best)
+
+    assert results[None][0] == results[4][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        results[None][1], results[4][1])
