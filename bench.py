@@ -287,6 +287,48 @@ def bench_proxy(detail):
         t_full_bf16 = _timeit(lambda: full_loop_bf16(trainable, frozen, opt),
                               inner=INNER)
 
+        # ---- bf16 found-train batch-size sweep (VERDICT r3 next-6):
+        # the fixed-B headline hides where clips/s saturates; one compiled
+        # scan per B, same net/optimizer, OOM recorded instead of crashing
+        sweep_bs = (16, 32, 48, 64) if jax.default_backend() != "cpu" \
+            else (2, 4)   # CPU: exercise the code path only
+        sweep = {}
+        for bs in sweep_bs:
+            if bs == B and t_full_bf16 is not None:
+                sweep[str(bs)] = round(B / t_full_bf16, 2)
+                continue
+            try:
+                rgb_s = jnp.asarray(
+                    rs.randn(bs, args.vid_len[0], IMG, IMG, 3), jnp.float32)
+                ske_s = jnp.asarray(
+                    rs.randn(bs, 3, args.vid_len[1], 25, 2), jnp.float32)
+                batch_s = {"rgb": rgb_s, "ske": ske_s,
+                           "label": jnp.asarray(
+                               rs.randint(0, 60, bs), jnp.int32),
+                           "_mask": jnp.ones((bs,), jnp.float32)}
+
+                @jax.jit
+                def sweep_loop(trainable, frozen, opt, batch_s=batch_s):
+                    def body(carry, _):
+                        trainable, frozen, opt = carry
+                        trainable, frozen, opt, loss, corr = \
+                            engine_bf16._train_step_impl(
+                                trainable, frozen, opt, batch_s,
+                                jnp.float32(1e-3), key)
+                        return (trainable, frozen, opt), loss
+
+                    carry, losses = lax.scan(
+                        body, (trainable, frozen, opt), None, length=INNER)
+                    return jnp.sum(losses)
+
+                t_s = _timeit(lambda: sweep_loop(trainable, frozen, opt),
+                              inner=INNER)
+                sweep[str(bs)] = round(bs / t_s, 2)
+                del rgb_s, ske_s, batch_s
+            except Exception as e:  # noqa: BLE001 — OOM at large B is data
+                sweep[str(bs)] = f"error: {type(e).__name__}"
+        detail["found_train_bf16_batch_sweep_clips_per_s"] = sweep
+
     @jax.jit
     def infer_loop(trainable, frozen, eps):
         def body(acc, _):
@@ -869,6 +911,7 @@ def main():
         "search_trend_speedup", "search_trend_cached_speedup",
         "search_trend_candidates",
         "found_train_clips_per_s", "found_train_bf16_clips_per_s",
+        "found_train_bf16_batch_sweep_clips_per_s",
         "found_infer_clips_per_s", "mfu_estimate_bf16",
         "e2e_train_clips_per_s", "h2d_gbps", "search_speedup_proxy",
     )
