@@ -16,21 +16,35 @@ def _tmap(f, *trees, **kwargs):
     return jax.tree_util.tree_map(f, *trees, **kwargs)
 
 
-def adam_init(params):
+def adam_init(params, per_leaf_step=False):
     """params: tree of trainable leaves (None for frozen slots). m and v
     must be INDEPENDENT arrays: under donate_argnums the whole opt state is
     donated, and donating the same buffer twice is a runtime error on
     hardware backends (CPU silently ignores donation, so tests won't
-    catch aliasing)."""
+    catch aliasing).
+
+    per_leaf_step: torch Adam keeps ``state['step']`` PER PARAM, advanced
+    only when the param has a grad. The shared scalar (default) is
+    identical for fully-connected trainable sets; pair per-leaf with
+    ``skip_disconnected`` so a leaf that is disconnected for its first K
+    steps and connects later gets torch's bias corrections (t-K, not t) —
+    the ADVICE-r3 transient-disconnection divergence. adam_update detects
+    which scheme a state uses from its structure, so resumed checkpoints
+    written under either scheme keep their original semantics."""
 
     def zeros():
         return _tmap(lambda p: None if p is None else jnp.zeros_like(p),
                      params)
 
+    if per_leaf_step:
+        step = _tmap(lambda p: None if p is None
+                     else jnp.zeros((), jnp.int32), params)
+    else:
+        step = jnp.zeros((), jnp.int32)
     return {
         "m": zeros(),
         "v": zeros(),
-        "step": jnp.zeros((), jnp.int32),
+        "step": step,
     }
 
 
@@ -54,21 +68,20 @@ def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
     disconnection without graph introspection. Off by default for the
     frozen-backbone engines whose trainable sets are all connected.
 
-    Parity caveat (ADVICE r3): state['step'] is shared across leaves while
-    torch keeps a per-param step count. A leaf that is disconnected for
-    its first K steps and later becomes connected therefore sees bias
-    corrections for step t, where torch would use t-K — so parity holds
-    only for PERMANENTLY disconnected submodules (the case this flag
-    exists for: fusion confs that never route through a module)."""
+    With a shared scalar step (adam_init default), parity holds only for
+    PERMANENTLY disconnected submodules: a leaf disconnected for its first
+    K steps that later connects sees bias corrections for step t where
+    torch uses t-K (ADVICE r3). States built with
+    ``adam_init(per_leaf_step=True)`` carry one step counter per leaf,
+    advanced only on connected steps — torch's exact scheme — and this
+    function switches on the state's structure, so either kind of resumed
+    checkpoint keeps its own semantics."""
     b1, b2 = betas
-    step = state["step"] + 1
-    t = step.astype(jnp.float32)
-    bc1 = 1.0 - b1 ** t
-    bc2 = 1.0 - b2 ** t
 
-    def upd(p, g, m, v):
-        if p is None:
-            return None, None, None
+    def corrections(step_f32):
+        return 1.0 - b1 ** step_f32, 1.0 - b2 ** step_f32
+
+    def body(p, g, m, v, bc1, bc2):
         raw_g = g
         if weight_decay:
             g = g + weight_decay * p
@@ -77,16 +90,48 @@ def adam_update(params, grads, state, lr, betas=(0.9, 0.999), eps=1e-8,
         mhat = m_n / bc1
         vhat = v_n / bc2
         p_n = p - lr * mhat / (jnp.sqrt(vhat) + eps)
-        if skip_disconnected:
-            connected = jnp.any(raw_g != 0)
-            p_n = jnp.where(connected, p_n, p)
-            m_n = jnp.where(connected, m_n, m)
-            v_n = jnp.where(connected, v_n, v)
-        return p_n, m_n, v_n
+        return raw_g, p_n, m_n, v_n
 
-    flat = _tmap(upd, params, grads, state["m"], state["v"])
-    # unzip the 3-tuples back into trees
-    new_p = _tmap(lambda t3: t3[0], flat, is_leaf=lambda x: isinstance(x, tuple))
-    new_m = _tmap(lambda t3: t3[1], flat, is_leaf=lambda x: isinstance(x, tuple))
-    new_v = _tmap(lambda t3: t3[2], flat, is_leaf=lambda x: isinstance(x, tuple))
-    return new_p, {"m": new_m, "v": new_v, "step": step}
+    if not isinstance(state["step"], dict):
+        step = state["step"] + 1
+        bc1, bc2 = corrections(step.astype(jnp.float32))
+
+        def upd(p, g, m, v):
+            if p is None:
+                return None, None, None
+            raw_g, p_n, m_n, v_n = body(p, g, m, v, bc1, bc2)
+            if skip_disconnected:
+                connected = jnp.any(raw_g != 0)
+                p_n = jnp.where(connected, p_n, p)
+                m_n = jnp.where(connected, m_n, m)
+                v_n = jnp.where(connected, v_n, v)
+            return p_n, m_n, v_n
+
+        flat = _tmap(upd, params, grads, state["m"], state["v"])
+        tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        return (_tmap(lambda t3: t3[0], flat, is_leaf=tup),
+                {"m": _tmap(lambda t3: t3[1], flat, is_leaf=tup),
+                 "v": _tmap(lambda t3: t3[2], flat, is_leaf=tup),
+                 "step": step})
+
+    def upd_leaf(p, g, m, v, s):
+        if p is None:
+            return None, None, None, None
+        # per-leaf: the step advances only when this leaf is connected
+        # (torch: `param.grad is None` -> the whole state entry is skipped)
+        connected = (jnp.any(g != 0) if skip_disconnected
+                     else jnp.bool_(True))
+        s_n = s + connected.astype(jnp.int32)
+        bc1, bc2 = corrections(s_n.astype(jnp.float32))
+        raw_g, p_n, m_n, v_n = body(p, g, m, v, bc1, bc2)
+        return (jnp.where(connected, p_n, p),
+                jnp.where(connected, m_n, m),
+                jnp.where(connected, v_n, v), s_n)
+
+    flat = _tmap(upd_leaf, params, grads, state["m"], state["v"],
+                 state["step"])
+    tup = lambda x: isinstance(x, tuple)  # noqa: E731
+    return (_tmap(lambda t4: t4[0], flat, is_leaf=tup),
+            {"m": _tmap(lambda t4: t4[1], flat, is_leaf=tup),
+             "v": _tmap(lambda t4: t4[2], flat, is_leaf=tup),
+             "step": _tmap(lambda t4: t4[3], flat, is_leaf=tup)})

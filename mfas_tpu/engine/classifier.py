@@ -216,7 +216,10 @@ class ClassifierEngine:
         if self.mesh is not None:
             trainable = pm.replicate_tree(trainable, self.mesh)
             frozen = pm.replicate_tree(frozen, self.mesh)
-        opt_state = adam_init(trainable)
+        # per-leaf steps pair with skip_disconnected: torch's per-param
+        # step count, exact for transiently-disconnected modules too
+        opt_state = adam_init(trainable,
+                              per_leaf_step=self.adam_skip_disconnected)
         rng = Rng(seed)
 
         best_acc = self.initial_best_acc

@@ -129,7 +129,9 @@ class MMIMDBEngine:
                        verbose=False, init_f1=0.0):
         trainable, frozen = split_tree(self.model, tree, trainable_prefixes)
         trainable, frozen = self._replicated(trainable, frozen)
-        opt_state = adam_init(trainable)
+        # this engine's step uses skip_disconnected (dead unimodal heads);
+        # per-leaf steps give torch's per-param count (core/optim.py)
+        opt_state = adam_init(trainable, per_leaf_step=True)
         rng = Rng(seed)
 
         best_f1 = init_f1

@@ -29,6 +29,60 @@ def test_adam_matches_torch_with_weight_decay():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_adam_per_leaf_step_matches_torch_transient_disconnect():
+    """adam_init(per_leaf_step=True) + skip_disconnected reproduces torch
+    for a param whose grad is None for its first K steps and appears later
+    (ADVICE r3: the shared scalar step diverges there — torch bias-corrects
+    that param at t-K, not t). The always-connected leaf must stay
+    bit-identical to the shared-step scheme."""
+    rs = np.random.RandomState(0)
+    a0 = rs.randn(3, 2).astype(np.float32)
+    b0 = rs.randn(4).astype(np.float32)
+    ta = torch.nn.Parameter(torch.from_numpy(a0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.Adam([ta, tb], lr=1e-2)
+
+    params = {"a": jnp.asarray(a0), "b": jnp.asarray(b0)}
+    state = adam_init(params, per_leaf_step=True)
+    assert isinstance(state["step"], dict)
+
+    gen = np.random.RandomState(1)
+    for step in range(6):
+        ga = gen.randn(3, 2).astype(np.float32)
+        gb = (gen.randn(4).astype(np.float32) if step >= 3
+              else np.zeros(4, np.float32))   # b disconnected for 3 steps
+        opt.zero_grad()
+        ta.grad = torch.from_numpy(ga.copy())
+        tb.grad = torch.from_numpy(gb.copy()) if step >= 3 else None
+        opt.step()
+        params, state = adam_update(
+            params, {"a": jnp.asarray(ga), "b": jnp.asarray(gb)}, state,
+            lr=1e-2, skip_disconnected=True)
+
+    np.testing.assert_allclose(np.asarray(params["a"]), ta.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    assert int(np.asarray(state["step"]["a"])) == 6
+    assert int(np.asarray(state["step"]["b"])) == 3
+
+
+def test_adam_per_leaf_step_equals_shared_when_connected():
+    """With every leaf connected every step, the two schemes are the same
+    computation — resumed states of either structure stay valid."""
+    rs = np.random.RandomState(2)
+    w0 = rs.randn(5).astype(np.float32)
+    p1 = {"w": jnp.asarray(w0)}
+    p2 = {"w": jnp.asarray(w0)}
+    s1 = adam_init(p1)
+    s2 = adam_init(p2, per_leaf_step=True)
+    for _ in range(4):
+        g = {"w": jnp.asarray(rs.randn(5).astype(np.float32))}
+        p1, s1 = adam_update(p1, g, s1, lr=1e-2, skip_disconnected=True)
+        p2, s2 = adam_update(p2, g, s2, lr=1e-2, skip_disconnected=True)
+    np.testing.assert_array_equal(np.asarray(p1["w"]), np.asarray(p2["w"]))
+
+
 def test_adam_skips_frozen_none_leaves():
     params = {"a": jnp.ones((2,)), "b": None}
     grads = {"a": jnp.ones((2,)), "b": None}
