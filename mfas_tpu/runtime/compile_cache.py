@@ -6,6 +6,17 @@ from this cache by a fresh process). The reference's per-candidate loop
 never compiles at all (eager torch), so cached compiles are also what keeps
 the rebuild's cold-start competitive. Every CLI entry point enables this;
 opt out with MFAS_COMPILE_CACHE=0, redirect with MFAS_COMPILE_CACHE_DIR.
+
+Known-benign noise: on the CPU backend, loading a cached entry can log
+``cpu_aot_loader.cc ... +prefer-no-gather is not supported`` at ERROR
+level — XLA's compile-time feature string carries tuning PREFERENCES that
+runtime host detection never lists, so the comparison trips even on the
+machine that wrote the entry. Verified benign here: the flagged entries
+still serve (same-program compile 4.4 s cold -> 0.7 s from cache) with
+identical outputs. Real cross-host ISA mismatches cannot occur: the cache
+dir is keyed by host CPU features (enable_persistent_compilation_cache).
+The multichip dryrun filters this exact pattern from its child output
+(__graft_entry__._run_cpu_child).
 """
 
 from __future__ import annotations
@@ -189,9 +200,13 @@ def enable_persistent_compilation_cache(path: str | None = None,
     # for this host's ISA extensions (AMX, prefer-no-gather, ...); served
     # to a different machine (image copy, rsync) they fail to load with
     # cpu_aot_loader errors — or worse, SIGILL. Same fix as the native IO
-    # library's .so tag (data/native.py:_host_tag).
+    # library's .so tag (data/native.py:_host_tag). Idempotent: a caller
+    # may already point at a tagged dir (tests/conftest.py exports one so
+    # spawned children that never call this hook share it).
     from mfas_tpu.data.native import _host_tag
-    path = os.path.join(path, f"host-{_host_tag()}")
+    tag = f"host-{_host_tag()}"
+    if os.path.basename(os.path.normpath(path)) != tag:
+        path = os.path.join(path, tag)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -8,11 +8,25 @@ import subprocess
 import sys
 import time
 
+import pytest
+
 from mfas_tpu.data.native import _host_tag
 from mfas_tpu.runtime import compile_cache as cc
 from mfas_tpu.runtime.compile_cache import enable_persistent_compilation_cache
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(autouse=True)
+def _restore_cache_config():
+    """These tests repoint jax_compilation_cache_dir at tmp dirs that die
+    with the test; later suite compiles must go back to the session cache
+    (tests/conftest.py) instead of erroring into a deleted path."""
+    import jax
+
+    before = jax.config.jax_compilation_cache_dir
+    yield
+    jax.config.update("jax_compilation_cache_dir", before)
 
 
 def _expected(base):
