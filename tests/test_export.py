@@ -125,27 +125,51 @@ def test_export_cli_all_verticals_smoke(tmp_path):
         assert np.all(np.isfinite(got)), vertical
 
 
-def test_export_polymorphic_batch(tmp_path):
-    """--polymorphic_batch: one artifact serves any batch size."""
+import pytest
+
+_POLY_CASES = {
+    "avmnist": (["avmnist", "--conf", "0", "--channels", "4",
+                 "--inner_representation_size", "8"],
+                ((1, 28, 28), (1, 112, 112)), 10),
+    # the REAL NTU architecture, shrunken via the found-CLI knobs so the
+    # inflated-ResNet3D + HCN trace stays CPU-sized
+    "ntu": (["ntu", "--conf", "0", "--vid_len", "2", "32", "--vid_dim",
+             "32", "--inner_representation_size", "8",
+             "--resnet3d_layers", "1", "1", "1", "1",
+             "--resnet3d_base_width", "8"],
+            ((2, 32, 32, 3), (3, 32, 25, 2)), 60),
+    "mmimdb": (["mmimdb", "--model", "simplevt", "--text_first_hidden",
+                "8", "--channels", "4", "--image_size", "32", "48"],
+               ((300,), (3, 32, 48)), 23),
+    "cifar": (["cifar", "--planes", "8", "--net_str", "1", "1", "2"],
+              ((3, 32, 32),), 10),
+}
+
+
+@pytest.mark.parametrize("vertical", sorted(_POLY_CASES))
+def test_export_polymorphic_batch(tmp_path, vertical):
+    """--polymorphic_batch: one artifact serves any batch size — asserted
+    for every vertical (VERDICT r3 next-8), with --check exercising the
+    export-time reload+run validation."""
     from mfas_tpu.runtime.export import load_exported
 
+    extra, per_sample_shapes, n_out = _POLY_CASES[vertical]
     out = str(tmp_path / "poly.stablehlo")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     run = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
-         "avmnist", "--conf", "0", "--random_init", "--channels", "4",
-         "--inner_representation_size", "8", "--polymorphic_batch",
+         *extra, "--random_init", "--polymorphic_batch", "--check",
          "--out", out],
         env=env, capture_output=True, text=True, timeout=600)
-    assert run.returncode == 0, run.stdout + run.stderr
+    assert run.returncode == 0, (vertical, run.stdout + run.stderr)
+    assert "check OK" in run.stdout, run.stdout
     exp = load_exported(out)
     rs = np.random.RandomState(0)
     for B in (1, 5):
-        got = np.asarray(exp.call(
-            rs.randn(B, 1, 28, 28).astype(np.float32),
-            rs.randn(B, 1, 112, 112).astype(np.float32)))
-        assert got.shape == (B, 10)
+        got = np.asarray(exp.call(*(rs.randn(B, *s).astype(np.float32)
+                                    for s in per_sample_shapes)))
+        assert got.shape == (B, n_out), (vertical, got.shape)
 
 
 def test_export_is_multi_platform(tmp_path):

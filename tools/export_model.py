@@ -82,6 +82,10 @@ def main(argv=None):
     p.add_argument("--polymorphic_batch", action="store_true", default=False,
                    help="export with a SYMBOLIC batch dimension: one "
                         "artifact serves any batch size")
+    p.add_argument("--check", action="store_true", default=False,
+                   help="after writing, reload the artifact and run it on "
+                        "zero inputs on THIS host's backend — validates the "
+                        "export at export time instead of at first serve")
     p.add_argument("--platforms", type=str, default="cpu,tpu,cuda",
                    help="comma list of serving platforms lowered into the "
                         "artifact (jax.export multi-platform)")
@@ -92,6 +96,10 @@ def main(argv=None):
                    help="default: the vertical's found-CLI default")
     p.add_argument("--vid_len", type=int, nargs="+", default=[8, 32])
     p.add_argument("--vid_dim", type=int, default=256)
+    p.add_argument("--resnet3d_layers", type=int, nargs=4, default=None,
+                   help="blocks per ResNet3D stage (default 3 4 6 3 = "
+                        "ResNet-50); the found-CLI shrink knob")
+    p.add_argument("--resnet3d_base_width", type=int, default=None)
     p.add_argument("--drpt", type=float, default=0.0)
     p.add_argument("--batchnorm", action="store_true", default=False)
     p.add_argument("--alphas", action="store_true", default=False)
@@ -116,6 +124,14 @@ def main(argv=None):
     p.add_argument("--drop_path", type=float, default=0.0)
     args = p.parse_args(argv)
     args.vid_len = tuple(args.vid_len)
+    # shrink knobs default to absent so models/ntu.py's getattr defaults
+    # (the full ResNet-50) stay authoritative
+    if args.resnet3d_layers is not None:
+        args.resnet3d_layers = tuple(args.resnet3d_layers)
+    else:
+        del args.resnet3d_layers
+    if args.resnet3d_base_width is None:
+        del args.resnet3d_base_width
     if args.num_outputs is None:
         args.num_outputs = {"ntu": 60, "avmnist": 10, "mmimdb": 23,
                             "cifar": 10}[args.vertical]
@@ -164,6 +180,21 @@ def main(argv=None):
     n = save_exported(args.out, fwd, structs, platforms=platforms)
     print(f"exported {args.vertical} conf {args.conf} -> {args.out} "
           f"({n} bytes, inputs {[tuple(s) for s in shapes]})")
+
+    if args.check:
+        from mfas_tpu.runtime.export import load_exported
+
+        exp = load_exported(args.out)
+        # concrete shapes even for a symbolic batch: check at batch 2
+        concrete = tuple((2,) + tuple(int(d) for d in s[1:])
+                         if args.polymorphic_batch else tuple(s)
+                         for s in shapes)
+        out = np.asarray(exp.call(*(np.zeros(s, np.float32)
+                                    for s in concrete)))
+        if not np.all(np.isfinite(out)):
+            raise SystemExit(f"--check FAILED: non-finite outputs {out}")
+        print(f"check OK: reloaded artifact ran on "
+              f"{jax.devices()[0].platform}, output shape {out.shape}")
 
 
 if __name__ == "__main__":
