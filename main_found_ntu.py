@@ -97,6 +97,17 @@ def parse_args():
                         help='ship raw uint8 clips and normalize on-device '
                              'via the fused Pallas kernel (needs '
                              '--packed_datadir)')
+    parser.add_argument('--hbm_resident', action='store_true', default=False,
+                        help='upload the packed store to device HBM once; '
+                             'batches become index plans and the gather + '
+                             'temporal resample + normalize run inside the '
+                             'jitted step (needs --packed_datadir; see '
+                             'mfas_tpu/data/resident.py for the HBM budget)')
+    parser.add_argument('--shard_resident_store', action='store_true',
+                        default=False,
+                        help='with --hbm_resident under a mesh: split the '
+                             'store over the data axis (1/D per chip) '
+                             'instead of replicating it')
     parser.add_argument('--train_state', type=str, default='',
                         help='per-epoch resumable training state path')
     parser.add_argument('--resume', action='store_true', default=False,
@@ -116,12 +127,27 @@ FOUND_CONFS = {
 }
 
 
-def get_dataloaders(args):
+def get_dataloaders(args, mesh=None):
     from mfas_tpu.data import ntu as d
     from mfas_tpu.data.loader import MapLoader
 
     tfm_val = d.Compose([d.NormalizeLen(args.vid_len)])
     tfm_tra = d.Compose([d.AugCrop(), d.NormalizeLen(args.vid_len)])
+
+    if getattr(args, 'hbm_resident', False):
+        import os
+        from mfas_tpu.data.resident import ResidentLoader, ResidentNTUStore
+        if not getattr(args, 'packed_datadir', ''):
+            raise SystemExit('--hbm_resident needs --packed_datadir '
+                             '(build one with tools/pack_ntu)')
+        return {k: ResidentLoader(
+            ResidentNTUStore(os.path.join(args.packed_datadir, k),
+                             args=args, mesh=mesh,
+                             shard=getattr(args, 'shard_resident_store',
+                                           False)),
+            args.batchsize, transform=(tfm_tra if k == 'train' else tfm_val),
+            shuffle=(k == 'train'))
+            for k in ('train', 'dev', 'test')}
 
     if getattr(args, 'packed_datadir', ''):
         import os
@@ -162,7 +188,10 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
         from mfas_tpu.core import functional as F
         F.set_conv_channels_last(True)
     batch_prep = None
-    if getattr(args, 'device_input_normalize', False):
+    if getattr(args, 'hbm_resident', False):
+        from mfas_tpu.data.resident import make_resident_prep
+        batch_prep = make_resident_prep(no_norm=args.no_norm)
+    elif getattr(args, 'device_input_normalize', False):
         from mfas_tpu.data.ntu_pack import make_device_normalize_prep
         batch_prep = make_device_normalize_prep()
     engine = ClassifierEngine(
@@ -254,7 +283,7 @@ def main():
             os.path.join(args.checkpointdir, args.rgb_cp), tree["rgbnet"],
             random_ok=args.random_backbones))
 
-    dataloaders = get_dataloaders(args)
+    dataloaders = get_dataloaders(args, mesh=mesh)
     start_time = time.time()
     with maybe_profile(args.profile_dir):
         modelacc, tree = train_model(model, tree, configuration, dataloaders,

@@ -105,6 +105,29 @@ def get_3D_skeleton(path):
     return np.nan_to_num(out)
 
 
+def interp_time_plan(T, out_len):
+    """The (lo, hi, w) gather plan of the bilinear time resample: out[t] =
+    in[lo[t]]*(1-w[t]) + in[hi[t]]*w[t]. Shared by the host interpolation
+    below and the HBM-resident device path (data/resident.py), so both
+    compute the identical resample by construction."""
+    if T == out_len:
+        idx = np.arange(out_len)
+        return idx, idx, np.zeros(out_len, np.float32)
+    scale = T / out_len
+    pos = (np.arange(out_len, dtype=np.float64) + 0.5) * scale - 0.5
+    pos = np.clip(pos, 0.0, T - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, T - 1)
+    w = (pos - lo).astype(np.float32)
+    return lo, hi, w
+
+
+def linspace_frame_idx(num, out_len):
+    """NormalizeLen's RGB frame pick (reference datasets/ntu.py:99-102);
+    shared with the resident-path planner."""
+    return np.linspace(0, num - 1, out_len).astype(int)
+
+
 def interpolate_skeleton_time(skel, out_len):
     """(C, T, V, M) -> (C, out_len, V, M), bilinear over time with
     half-pixel centers (torch F.interpolate align_corners=False semantics,
@@ -112,12 +135,7 @@ def interpolate_skeleton_time(skel, out_len):
     C, T, V, M = skel.shape
     if T == out_len:
         return skel.astype(np.float32)
-    scale = T / out_len
-    pos = (np.arange(out_len, dtype=np.float64) + 0.5) * scale - 0.5
-    pos = np.clip(pos, 0.0, T - 1)
-    lo = np.floor(pos).astype(int)
-    hi = np.minimum(lo + 1, T - 1)
-    w = (pos - lo).astype(np.float32)
+    lo, hi, w = interp_time_plan(T, out_len)
     data = skel.astype(np.float32)
     return (data[:, lo] * (1.0 - w)[None, :, None, None]
             + data[:, hi] * w[None, :, None, None])
@@ -136,9 +154,7 @@ class NormalizeLen:
     def __call__(self, sample):
         rgb, skel = sample["rgb"], sample["ske"]
         if rgb.shape[0] != 1:
-            num = len(rgb)
-            idx = np.linspace(0, num - 1, self.vid_len[0]).astype(int)
-            rgb = rgb[idx]
+            rgb = rgb[linspace_frame_idx(len(rgb), self.vid_len[0])]
         if skel.shape[0] != 1:
             skel = interpolate_skeleton_time(skel, self.vid_len[1])
         return {"rgb": rgb, "ske": skel, "label": sample["label"]}

@@ -55,14 +55,28 @@ def place_batch(batch, mesh, h2d_chunks=None):
     Under a mesh, host arrays go straight to their shards
     (device_put_global); a jnp.asarray hop first would stage the full
     batch on one device before resharding. ``h2d_chunks`` splits large
-    single-device transfers (data/loader.chunked_device_put experiment)."""
+    single-device transfers (data/loader.chunked_device_put experiment).
+
+    Values that are ALREADY device arrays (the HBM-resident store riding
+    along in data/resident.py batches, placed once with its own
+    replicated/sharded layout) pass through untouched — re-placing them
+    with the batch sharding would copy the whole store every step. Under
+    a mesh only COMMITTED arrays skip (an uncommitted single-device array
+    still needs its mesh placement); the store is committed by
+    construction there (device_put_global with a NamedSharding)."""
+    def placed(x):
+        if not isinstance(x, jax.Array):
+            return False
+        return mesh is None or getattr(x, "committed", False)
+
     if mesh is not None:
-        return pm.shard_batch(batch, mesh)
+        return pm.shard_batch(batch, mesh, skip=placed)
     if h2d_chunks:
         from mfas_tpu.data.loader import chunked_device_put
-        return {k: chunked_device_put(v, h2d_chunks)
+        return {k: v if placed(v) else chunked_device_put(v, h2d_chunks)
                 for k, v in batch.items()}
-    return {k: jnp.asarray(v) for k, v in batch.items()}
+    return {k: v if placed(v) else jnp.asarray(v)
+            for k, v in batch.items()}
 
 
 class ClassifierEngine:

@@ -184,13 +184,17 @@ def _log_batch_checksum(x):
             f.write(json.dumps(rec) + "\n")
 
 
-def shard_batch(batch, mesh, axis="data"):
+def shard_batch(batch, mesh, axis="data", skip=None):
     """Place each array of a (possibly nested) batch with its leading dim
     sharded over ``axis``. The mesh axis size must divide the batch size —
-    loaders pad to full batches, so this holds by construction."""
+    loaders pad to full batches, so this holds by construction.
+    ``skip(x)`` -> True passes a leaf through untouched (already-placed
+    device arrays, e.g. the HBM-resident store)."""
     sh = batch_sharding(mesh, axis)
 
     def place(x):
+        if skip is not None and skip(x):
+            return x
         return device_put_global(x, sh)
 
     return jax.tree_util.tree_map(place, batch)
