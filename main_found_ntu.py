@@ -108,6 +108,14 @@ def parse_args():
                         help='with --hbm_resident under a mesh: split the '
                              'store over the data axis (1/D per chip) '
                              'instead of replicating it')
+    parser.add_argument('--resnet3d_layers', type=int, nargs=4,
+                        default=(3, 4, 6, 3), metavar='N',
+                        help='blocks per inflated-ResNet stage (shrink knob '
+                             'for tests/small deployments; the reference '
+                             'architecture is 3 4 6 3)')
+    parser.add_argument('--resnet3d_base_width', type=int, default=64,
+                        help='inflated-ResNet stem width (shrink knob; '
+                             'reference 64 — tap widths scale with it)')
     parser.add_argument('--train_state', type=str, default='',
                         help='per-epoch resumable training state path')
     parser.add_argument('--resume', action='store_true', default=False,

@@ -93,6 +93,14 @@ def parse_args():
                         help='train candidates one at a time (reference loop)')
     parser.add_argument('--random_backbones', action='store_true', default=False,
                         help='smoke-run without pretrained backbone checkpoints')
+    parser.add_argument('--resnet3d_layers', type=int, nargs=4,
+                        default=(3, 4, 6, 3), metavar='N',
+                        help='blocks per inflated-ResNet stage (shrink knob '
+                             'for tests/small deployments; the reference '
+                             'architecture is 3 4 6 3)')
+    parser.add_argument('--resnet3d_base_width', type=int, default=64,
+                        help='inflated-ResNet stem width (shrink knob; '
+                             'reference 64 — tap widths scale with it)')
     parser.add_argument('--search_state', type=str, default='',
                         help='persist resumable search state to this path')
     parser.add_argument('--resume_search', action='store_true', default=False,

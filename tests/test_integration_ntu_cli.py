@@ -93,6 +93,11 @@ def test_main_found_ntu_use_dataparallel_mesh(tmp_path, monkeypatch, capsys):
         "--conf", "0", "--num_outputs", "3", "--batchsize", "8",
         "--epochs", "1", "--inner_representation_size", "8",
         "--vid_len", "2", "32", "--j", "2",
+        # shrunken backbone: this test pins the flag->mesh->sharded-engine
+        # path, not the backbone scale (test_main_found_ntu_smoke keeps the
+        # full ResNet-50 depth)
+        "--resnet3d_layers", "1", "1", "1", "1",
+        "--resnet3d_base_width", "16",
         "--random_backbones", "--no-verbose", "--use_dataparallel",
     ])
     out = capsys.readouterr().out
@@ -118,6 +123,11 @@ def test_main_searchable_ntu_tiny_population_search(tmp_path, monkeypatch,
         "--vid_len", "2", "32", "--num_workers", "2",
         "--max_fusions", "2", "--search_iterations", "1",
         "--num_samples", "2", "--epochs_surrogate", "2",
+        # shrunken backbone: these parametrizations pin search mechanics
+        # (population trainer, feature bank, bank sharding), not backbone
+        # scale — the full architecture is covered by the oracle/parity suite
+        "--resnet3d_layers", "1", "1", "1", "1",
+        "--resnet3d_base_width", "16",
         "--random_backbones", "--no-verbose", "--seed", "0", *extra,
     ])
     out = capsys.readouterr().out

@@ -180,6 +180,10 @@ def test_main_found_ntu_hbm_resident(tmp_path, monkeypatch, capsys):
         "--conf", "4", "--num_outputs", "3", "--batchsize", "3",
         "--epochs", "1", "--inner_representation_size", "8",
         "--vid_len", "2", "32", "--vid_dim", "32",
+        # shrunken backbone: this pins the resident input path (plans,
+        # gather, fused normalize), not the backbone scale
+        "--resnet3d_layers", "1", "1", "1", "1",
+        "--resnet3d_base_width", "16",
         "--random_backbones", "--no-verbose",
     ])
     m.main()
