@@ -71,6 +71,15 @@ def parse_args():
                              'shard the bank rows over the data axis '
                              '(1/N per-chip HBM; batch-sized collective '
                              'per gather) instead of replicating it')
+    parser.add_argument('--int8_feature_bank', action='store_true',
+                        default=False,
+                        help='with --cache_features: store the bank '
+                             'symmetric-int8 with per-row f32 scales — 2x '
+                             'the per-chip bank capacity of the bf16 '
+                             'default (4x vs --f32_features) and 4x less '
+                             'gather/ICI traffic; dequant fuses into the '
+                             'epoch program (measured ranking agreement: '
+                             'tests/test_feature_bank.py)')
     parser.add_argument('--bank_batch', type=int, default=None,
                         help='target sample count for the eval-mode '
                              'feature-extraction passes (feature bank '

@@ -144,6 +144,19 @@ def pad_taps(taps, cmax):
     return jnp.stack(padded, axis=1)
 
 
+def _quantize_rows(x):
+    """Symmetric int8 over the channel (last) axis: per-row float32
+    absmax/127 scale, values round-to-nearest clipped to [-127, 127].
+    Rows are (sample, tap) for padded tap stacks (B, T, C) and (sample,)
+    for logits (B, C) — the scale keeps each row's relative error at
+    ~0.4% of its own absmax, independent of cross-row dynamic range."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 # --------------------------------------------------------------------------
 # weight sharing across search steps (reference ntu_searchable.py:123-175)
 # --------------------------------------------------------------------------
@@ -447,10 +460,17 @@ class _PopulationPrograms:
 
     def _gathered_batch(self, bank, take_s):
         got = jax.tree_util.tree_map(lambda a: a[take_s], bank)
-        fa = got["fa"].astype(jnp.float32)
-        fb = got["fb"].astype(jnp.float32)
-        lb = got["lb"].astype(jnp.float32)
-        la = got["la"].astype(jnp.float32)
+
+        def val(k):
+            # int8 banks carry a per-row "<k>_scale" factor (dequant is
+            # fused into the epoch program right after the gather, so only
+            # int8 rows ever move out of the bank — 4x less gather traffic
+            # than f32, and 4x less ICI for a sharded bank)
+            x = got[k].astype(jnp.float32)
+            s = got.get(k + "_scale")
+            return x * s if s is not None else x
+
+        fa, fb, lb, la = val("fa"), val("fb"), val("lb"), val("la")
         return tuple(self._constrain_data(t)
                      for t in (fa, fb, lb, la, got["label"]))
 
@@ -530,7 +550,7 @@ class PopulationTrainer:
                  backbone_tree, mesh=None, input_prep=None,
                  cache_train_features=False, fused_epochs=True,
                  shard_feature_bank=False, bank_batch=None,
-                 program_key=None):
+                 int8_bank=False, program_key=None):
         """mesh: optional jax Mesh. A ('pop','data') mesh shards candidates
         over 'pop' (communication-free) and batches over 'data'; a 1-D
         ('data',) mesh shards batches only. Under jit/GSPMD the program is
@@ -563,7 +583,17 @@ class PopulationTrainer:
         bank layout are unchanged. Larger eval batches use the MXU better
         (B32 measured ~+15% clips/s over B16 on one v5e chip for the NTU
         extractor, docs/TPU_DESIGN.md §5.3); features are identical —
-        eval-mode forwards are per-sample deterministic."""
+        eval-mode forwards are per-sample deterministic.
+
+        int8_bank: store the feature bank symmetric-int8 quantized with a
+        per-row (sample x tap) float32 absmax/127 scale — 2x the per-chip
+        bank capacity of the bf16 default (4x vs f32) and proportionally
+        less gather/ICI traffic; dequant fuses into the epoch program
+        right after the gather. Like the feature dtype itself this only
+        ever touches candidate SCORING (frozen features, reference
+        ntu_searchable.py:59-62) — ranking agreement measured in
+        tests/test_feature_bank.py::test_int8_bank_ranking_agreement.
+        No-op without cache_train_features."""
         self.spec = spec
         self.extractor = feature_extractor
         self.input_prep = input_prep
@@ -594,6 +624,7 @@ class PopulationTrainer:
         self.cache_train_features = bool(cache_train_features)
         self.shard_feature_bank = bool(shard_feature_bank)
         self.bank_batch = int(bank_batch) if bank_batch else None
+        self.int8_bank = bool(int8_bank)
         self._train_bank = None
         self._train_bank_key = None
         self.fused_epochs = bool(fused_epochs)
@@ -789,14 +820,20 @@ class PopulationTrainer:
         reduced — the bank only feeds candidate scoring."""
         store_dt = (jnp.dtype(self.spec.feature_dtype)
                     if self.spec.feature_dtype else jnp.float32)
-        parts = {"fa": [], "fb": [], "lb": [], "la": [], "label": []}
+        parts: dict = {"fa": [], "fb": [], "lb": [], "la": [], "label": []}
+        if self.int8_bank:
+            parts.update({k + "_scale": []
+                          for k in ("fa", "fb", "lb", "la")})
         for fa, fb, lb, la, label, wmask in self._eval_feature_batches(
                 loader, input_keys, label_key):
             n = int(np.asarray(jnp.sum(wmask)))
-            parts["fa"].append(fa[:n].astype(store_dt))
-            parts["fb"].append(fb[:n].astype(store_dt))
-            parts["lb"].append(lb[:n].astype(store_dt))
-            parts["la"].append(la[:n].astype(store_dt))
+            for k, v in (("fa", fa), ("fb", fb), ("lb", lb), ("la", la)):
+                if self.int8_bank:
+                    q, s = _quantize_rows(v[:n])
+                    parts[k].append(q)
+                    parts[k + "_scale"].append(s)
+                else:
+                    parts[k].append(v[:n].astype(store_dt))
             parts["label"].append(label[:n])
         bank = {k: jnp.concatenate(v, axis=0) for k, v in parts.items()}
         if not (self.shard_feature_bank and self._data_sharded):
@@ -835,10 +872,13 @@ class PopulationTrainer:
         takes, wmasks = self._epoch_index_plan(n, batch_size, shuffle_rs)
         for take, wmask in zip(takes, wmasks):
             got = self._bank_gather(bank, jnp.asarray(take, jnp.int32))
-            fa = got["fa"].astype(jnp.float32)
-            fb = got["fb"].astype(jnp.float32)
-            lb = got["lb"].astype(jnp.float32)
-            la = got["la"].astype(jnp.float32)
+
+            def val(k):
+                x = got[k].astype(jnp.float32)
+                s = got.get(k + "_scale")   # int8 banks (see _quantize_rows)
+                return x * s if s is not None else x
+
+            fa, fb, lb, la = val("fa"), val("fb"), val("lb"), val("la")
             yield (self._shard_data(fa), self._shard_data(fb),
                    self._shard_data(lb), self._shard_data(la),
                    self._shard_data(got["label"]),

@@ -123,6 +123,7 @@ class AVMNISTSearcher(ModelSearcher):
                 shard_feature_bank=getattr(args, "shard_feature_bank",
                                            False),
                 bank_batch=getattr(args, "bank_batch", None),
+                int8_bank=getattr(args, "int8_feature_bank", False),
                 program_key=("avmnist", int(args.channels),
                              int(args.num_outputs)))
 
@@ -263,6 +264,7 @@ class NTUSearcher(ModelSearcher):
                 shard_feature_bank=getattr(args, "shard_feature_bank",
                                            False),
                 bank_batch=getattr(args, "bank_batch", None),
+                int8_bank=getattr(args, "int8_feature_bank", False),
                 program_key=(
                     "ntu", tuple(args.vid_len), int(args.num_outputs),
                     float(args.drpt),

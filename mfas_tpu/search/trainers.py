@@ -229,7 +229,7 @@ class PopulationSearchTrainer:
                  sequential_fallback=None, input_prep=None,
                  cache_features=False, fused_epochs=True,
                  shard_feature_bank=False, bank_batch=None,
-                 program_key=None):
+                 int8_bank=False, program_key=None):
         self.spec = spec
         self.extractor_module = extractor_module
         self.input_keys = tuple(input_keys)
@@ -238,7 +238,8 @@ class PopulationSearchTrainer:
             spec, extractor_module.apply, backbone_tree, mesh=mesh,
             input_prep=input_prep, cache_train_features=cache_features,
             fused_epochs=fused_epochs, shard_feature_bank=shard_feature_bank,
-            bank_batch=bank_batch, program_key=program_key)
+            bank_batch=bank_batch, int8_bank=int8_bank,
+            program_key=program_key)
         self.sequential_fallback = sequential_fallback
 
     def __call__(self, sampled_configurations, searchable_type, dataloaders,

@@ -280,3 +280,96 @@ def test_bf16_feature_bank_trains():
     assert trainer._train_bank["fa"].dtype == jnp.bfloat16
     assert all(np.isfinite(a) and 0.0 <= a <= 1.0 for a in accs)
     assert max(accs) > 0.2            # learns, like the f32 bank test
+
+
+def test_quantize_rows_roundtrip():
+    """Symmetric-int8 row quantization: per-row relative error bounded by
+    half a quantization step of that row's absmax (0.5/127), including
+    rows with wildly different scales and all-zero padded rows."""
+    from mfas_tpu.search.population import _quantize_rows
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(6, 3, 32).astype(np.float32)
+    x[0] *= 1e3
+    x[1] *= 1e-4
+    x[2, 1] = 0.0                      # an all-zero (padded) row
+    q, s = _quantize_rows(jnp.asarray(x))
+    assert q.dtype == jnp.int8 and s.shape == (6, 3, 1)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    row_max = np.abs(x).max(axis=-1, keepdims=True)
+    bound = np.broadcast_to(row_max * (0.5 / 127.0) + 1e-12, x.shape)
+    np.testing.assert_array_less(np.abs(back - x), bound)
+
+
+def test_int8_bank_trains_and_stores_int8():
+    """--int8_feature_bank: values land int8 with per-row f32 scales (2x
+    the bf16 bank's capacity), the fused epoch dequantizes after the
+    gather, training proceeds and learns."""
+    import dataclasses
+
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    spec = dataclasses.replace(spec, feature_dtype="bfloat16")
+    data = synthetic_avmnist(32)
+    loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+               "dev": ArrayLoader(data, 8)}
+    sizes = {k: v.dataset_size for k, v in loaders.items()}
+    trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                cache_train_features=True, int8_bank=True)
+    accs, params, _ = trainer.train_population(
+        CONFS, loaders, sizes, FixedScheduler(1e-2), num_epochs=6,
+        input_keys=("image", "audio"), seed=0)
+    bank = trainer._train_bank
+    assert bank["fa"].dtype == jnp.int8
+    assert bank["fa_scale"].dtype == jnp.float32
+    assert bank["fa_scale"].shape == bank["fa"].shape[:2] + (1,)
+    assert all(np.isfinite(a) and 0.0 <= a <= 1.0 for a in accs)
+    assert max(accs) > 0.2
+
+    # the non-fused per-batch path trains off the same quantized bank
+    # (its DEV scoring uses the unquantized dev cache rather than a dev
+    # bank, so accuracies are close but not bit-equal to the fused path)
+    trainer2 = PopulationTrainer(spec, extractor.apply, btree,
+                                 cache_train_features=True, int8_bank=True,
+                                 fused_epochs=False)
+    accs2, _, _ = trainer2.train_population(
+        CONFS, loaders, sizes, FixedScheduler(1e-2), num_epochs=6,
+        input_keys=("image", "audio"), seed=0)
+    assert all(np.isfinite(a) and 0.0 <= a <= 1.0 for a in accs2)
+    assert max(accs2) > 0.2
+
+
+def test_int8_bank_ranking_agreement():
+    """The study gating --int8_feature_bank: identical candidates, seeds,
+    shuffles and LR; the ONLY change is int8 storage of the (bf16-default)
+    bank. Candidate scoring only ever consumes frozen features (reference
+    models/search/ntu_searchable.py:59-62), so ranking agreement is the
+    entire risk surface. Measured value recorded in docs/PARITY.md."""
+    import dataclasses
+
+    from tests.test_population_weightsharing import _spearman
+
+    rows = fa.get_possible_layer_configurations(0)
+    confs = [np.asarray([r]) for r in rows[::3]]          # 10 candidates
+    args = make_args(drpt=0.0)
+    spec, extractor, btree = build(args)
+    spec = dataclasses.replace(spec, feature_dtype="bfloat16")
+    data = synthetic_avmnist(96)
+
+    accs = {}
+    for int8 in (False, True):
+        loaders = {"train": ArrayLoader(data, 8, shuffle=True, seed=1),
+                   "dev": ArrayLoader(data, 8)}
+        sizes = {k: v.dataset_size for k, v in loaders.items()}
+        trainer = PopulationTrainer(spec, extractor.apply, btree,
+                                    cache_train_features=True,
+                                    int8_bank=int8)
+        a, _, _ = trainer.train_population(
+            confs, loaders, sizes, FixedScheduler(1e-2), num_epochs=4,
+            input_keys=("image", "audio"), seed=3)
+        accs[int8] = np.asarray(a)
+
+    rho = _spearman(accs[False], accs[True])
+    print(f"int8-vs-bf16 bank ranking: rho={rho:.3f} "
+          f"bf16={accs[False]} int8={accs[True]}")
+    assert rho > 0.7, (rho, accs)

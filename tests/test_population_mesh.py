@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from mfas_tpu.core.sched import FixedScheduler
@@ -79,11 +80,15 @@ def test_fused_bank_training_matches_on_mesh():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_feature_bank_matches_replicated():
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16", "int8"])
+def test_sharded_feature_bank_matches_replicated(int8):
     """--shard_feature_bank: bank feature rows sharded over the data axis
     (each chip holds n/data rows — banks bigger than one chip's HBM) give
     the identical training trajectory as the replicated bank; labels stay
-    replicated so the true sample count survives the padding."""
+    replicated so the true sample count survives the padding. With
+    --int8_feature_bank the per-row scale arrays shard alongside the
+    values (quantization happens before placement, so sharded == replicated
+    stays exact)."""
     from mfas_tpu.core.sched import FixedScheduler
 
     args = make_args(drpt=0.0)
@@ -99,7 +104,7 @@ def test_sharded_feature_bank_matches_replicated():
         sizes = {k: v.dataset_size for k, v in loaders.items()}
         trainer = PopulationTrainer(spec, extractor.apply, btree, mesh=mesh,
                                     cache_train_features=True,
-                                    fused_epochs=True,
+                                    fused_epochs=True, int8_bank=int8,
                                     shard_feature_bank=shard)
         accs, params, _ = trainer.train_population(
             confs, loaders, sizes, FixedScheduler(1e-3), num_epochs=2,
@@ -121,6 +126,11 @@ def test_sharded_feature_bank_matches_replicated():
     assert {s.data.shape[0] for s in bank["fa"].addressable_shards} == {6}
     # labels replicated: full copy everywhere
     assert {s.data.shape[0] for s in bank["label"].addressable_shards} == {21}
+    if int8:
+        assert bank["fa"].dtype == jnp.int8
+        # scale rows shard exactly like their values
+        assert {s.data.shape[0]
+                for s in bank["fa_scale"].addressable_shards} == {6}
 
 
 @pytest.mark.slow
