@@ -111,7 +111,12 @@ def main(argv=None):
     p.add_argument("--fusingmix", type=str, default="13,24")
     p.add_argument("--fusetype", type=str, default="cat")
     p.add_argument("--feat_dim", type=int, default=300)
-    p.add_argument("--image_size", type=int, nargs=2, default=[160, 256])
+    p.add_argument("--image_size", type=int, nargs=2, default=[256, 160],
+                   help="(h, w) of the artifact's image input. Default "
+                        "matches what the MM-IMDB loader actually yields: "
+                        "disk posters are (160, 256, 3) and the collate "
+                        "transposes channel-first to (B, 3, 256, 160) "
+                        "(reference collate_imdb datasets/mm_imdb.py:168)")
     # cifar (found mode: conf rows 'op1,op2,conn1,conn2' joined by ';')
     p.add_argument("--cifar_conf", type=str,
                    default="0,1,-2,-1;2,3,-2,0",
