@@ -30,9 +30,15 @@ sequential candidate loop, at the NTU vertical's shapes. Two views:
    the conservative extrapolated basis; *_measured fields carry the real
    run.
 
-Output contract: prints ONE compact JSON line (driver-parseable within a
-bounded tail window); the full detail dict is written to
-``bench_detail.json`` next to this file.
+Output contract: prints a compact driver-parseable JSON record line after
+EVERY completed section (the last printed line is the record — an early
+line survives a mid-section kill), re-prints the latest line on
+SIGTERM/SIGINT, and finishes inside MFAS_BENCH_BUDGET_S (default 2900 s,
+>=15% margin under the driver's observed 3600 s hard kill). The full
+detail dict is written (atomically, after every section) to
+``bench_detail.json`` next to this file. Official runs use the LEAN
+profile — settled experiments carry forward from the previous sidecar,
+labeled as carried; MFAS_BENCH_FULL=1 re-measures everything.
 
 Timing methodology: the remote-tunneled backend defers execution past
 block_until_ready, so compiled-region measurements are a ``lax.scan`` of N
@@ -57,12 +63,53 @@ INNER_HEAD = 16  # cheap head steps need a longer chain for stable timing
 # amortization trend) are skipped when the remaining budget can't cover
 # them, so the harness always reaches the final printed line even under
 # an external timeout. Skips are recorded in the detail record.
+# Default 2900 s: the driver's observed hard kill is 3600 s and round 4's
+# record died at rc=124 because the soft budget EQUALLED the hard window
+# (the sidecar was stamped seconds before the kill; the print never ran).
+# >=15% margin is the contract now, not a hope.
 _T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("MFAS_BENCH_BUDGET_S", "3600"))
+BUDGET_S = float(os.environ.get("MFAS_BENCH_BUDGET_S", "2900"))
+
+# Official runs use the LEAN profile: settled experiments whose answers
+# are already documented (TPU_DESIGN.md §5.1 and the sidecar history) —
+# the bf16 batch sweep, the chunked-H2D experiment, the measured
+# --sequential_candidates run, the amortization trend, and the full-scale
+# 197-candidate section — default to carry-forward from the previous
+# sidecar instead of re-measuring. MFAS_BENCH_FULL=1 re-runs everything
+# (and the per-section env switches still override individually).
+FULL = os.environ.get("MFAS_BENCH_FULL", "0") == "1"
+
+
+def _maybe_inject(name):
+    """Test hook: MFAS_BENCH_INJECT_ERROR=<section> makes that section
+    raise, so the contract 'a section failure still prints a parseable
+    line with an errors count' is testable without breaking real code."""
+    if os.environ.get("MFAS_BENCH_INJECT_ERROR") == name:
+        raise RuntimeError(f"injected failure in {name} (test hook)")
 
 
 def _budget_left():
     return BUDGET_S - (time.perf_counter() - _T0)
+
+
+_PREV_SIDECAR = None
+
+
+def _load_prev_sidecar():
+    """Snapshot the PREVIOUS run's sidecar exactly once per process.
+    _emit rewrites bench_detail.json after every section, so a late
+    _carry_forward reading the file directly would 'carry' from this
+    run's own partial record — the snapshot keeps the carry source the
+    previous run, whenever it is read."""
+    global _PREV_SIDECAR
+    if _PREV_SIDECAR is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        try:
+            with open(os.path.join(here, "bench_detail.json")) as f:
+                _PREV_SIDECAR = json.load(f)
+        except Exception:  # noqa: BLE001 — no sidecar, nothing to carry
+            _PREV_SIDECAR = {}
+    return _PREV_SIDECAR
 
 
 def _carry_forward(detail, keys, reason):
@@ -72,22 +119,125 @@ def _carry_forward(detail, keys, reason):
     sequential search, full-scale search) recorded by a longer run. Copies
     the keys from the previous sidecar, stamped with the run they came
     from — carried values are labeled, never mistakable for fresh ones."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "bench_detail.json")) as f:
-            prev = json.load(f)
-    except Exception:  # noqa: BLE001 — no sidecar, nothing to carry
-        return
+    prev = _load_prev_sidecar()
     prev_detail = prev.get("detail", {})
     carried = {k: prev_detail[k] for k in keys if k in prev_detail}
     if carried:
         detail.update(carried)
+        # provenance chains: if the previous run ALSO carried these keys,
+        # keep the original measurement's timestamp, not the reprint's
+        prev_stamp = prev_detail.get(keys[0] + "_carried_from", {})
         detail[keys[0] + "_carried_from"] = {
-            "measured_at": prev.get("measured_at"),
+            "measured_at": (prev_stamp.get("measured_at")
+                            or prev.get("measured_at")),
             "skip_reason": reason,
             "note": ("these keys are from the previous bench run (budget-"
                      "skipped this run); ratios among them are intra-THAT-"
                      "run, not comparable to this run's fresh timings")}
+
+# ---------------------------------------------------------------------------
+# Record emission: the one-line JSON contract, made kill-proof.
+#
+# Three of four official bench records failed while the measurements were
+# real (r02 tail overflow, r03 stale reprint, r04 rc=124 seconds before the
+# print). The contract is now: (1) a full, valid record line is printed
+# after EVERY completed section — the driver tails stdout and the last
+# line wins, so a kill mid-section leaves the freshest complete record in
+# the tail; (2) SIGTERM/SIGINT re-print the latest line before exiting, so
+# even a kill that lands between sections leaves a parseable tail.
+# ---------------------------------------------------------------------------
+_LATEST_LINE = None
+
+_COMPACT_KEYS = (
+    "device_kind",
+    "search_wallclock_speedup", "search_wallclock_cached_speedup",
+    "search_wallclock_resident_speedup",
+    "search_wallclock_cached_resident_speedup",
+    "search_wallclock_measured_speedup",
+    "search_wallclock_cached_measured_speedup",
+    "search_wallclock_seq_measured_s", "search_wallclock_seq_s",
+    "search_wallclock_pop_s", "search_wallclock_pop_cached_s",
+    "search_trend_speedup", "search_trend_cached_speedup",
+    "search_trend_candidates",
+    "search_fullscale_candidates", "search_fullscale_pop_cached_s",
+    "search_fullscale_cached_speedup", "search_fullscale_speedup",
+    "found_train_clips_per_s", "found_train_bf16_clips_per_s",
+    "found_train_bf16_batch_sweep_clips_per_s",
+    "found_infer_clips_per_s", "mfu_estimate_bf16",
+    "e2e_train_clips_per_s", "e2e_train_clips_per_s_resident",
+    "e2e_train_clips_per_s_resident_bf16",
+    "h2d_gbps", "search_speedup_proxy",
+)
+
+
+def _emit(detail, headline, prev_attempts=None, partial_after=None):
+    """Write the sidecar atomically and print the one-line JSON record.
+
+    Returns the printed line. ``partial_after`` names the last completed
+    section when the record is an intermediate one (absent on the final
+    emit), so a tail cut mid-run is self-describing."""
+    global _LATEST_LINE
+    errors = sorted(k for k in detail if k.endswith("_error"))
+    carried = sorted(k[: -len("_carried_from")] for k in detail
+                     if k.endswith("_carried_from"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "bench_detail.json")
+    record = {"metric": "mfas_search_speedup_vs_sequential_candidates",
+              "value": round(headline, 3), "unit": "x",
+              "vs_baseline": round(headline, 3),
+              "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+              "detail": detail}
+    if prev_attempts:
+        record["tpu_unreachable_attempts"] = prev_attempts
+    if partial_after:
+        record["partial_after_section"] = partial_after
+    try:
+        with open(sidecar + ".tmp", "w") as f:   # atomic: a killed run
+            json.dump(record, f, indent=1)       # never leaves torn JSON
+        os.replace(sidecar + ".tmp", sidecar)
+    except OSError as e:
+        detail["sidecar_write_error"] = repr(e)
+
+    line = {
+        "metric": "mfas_search_speedup_vs_sequential_candidates",
+        "value": round(headline, 3),
+        "unit": "x",
+        "vs_baseline": round(headline, 3),
+        "measured_at": record["measured_at"],
+        "detail_file": "bench_detail.json",
+        "detail": {k: detail[k] for k in _COMPACT_KEYS if k in detail},
+    }
+    if errors:
+        line["errors"] = len(errors)
+        line["error_keys"] = errors
+    if carried:
+        line["carried"] = carried
+    if partial_after:
+        line["partial_after_section"] = partial_after
+    _LATEST_LINE = json.dumps(line)
+    print(_LATEST_LINE, flush=True)
+    return _LATEST_LINE
+
+
+def _install_signal_fallback():
+    """SIGTERM/SIGINT -> re-print the latest complete record and exit.
+    Best-effort (a handler can't preempt a blocked native call), but it
+    converts the common kill-between-sections case from parsed:null into
+    a valid record. The primary defense is still the budget margin."""
+    import signal
+
+    def handler(signum, frame):  # noqa: ARG001
+        if _LATEST_LINE is not None:
+            sys.stdout.write("\n" + _LATEST_LINE + "\n")
+            sys.stdout.flush()
+        os._exit(113)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):
+            pass   # non-main thread / exotic platform: margin still holds
+
 
 # bf16 peak TFLOP/s by device kind (MFU denominators; f32 programs are
 # reported against the same peak, i.e. as a lower bound)
@@ -128,6 +278,7 @@ def _peak_tflops(device):
 # ---------------------------------------------------------------------------
 def bench_proxy(detail):
     global INNER, INNER_HEAD
+    _maybe_inject("bench_proxy")
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -314,9 +465,16 @@ def bench_proxy(detail):
 
         # ---- bf16 found-train batch-size sweep (VERDICT r3 next-6):
         # the fixed-B headline hides where clips/s saturates; one compiled
-        # scan per B, same net/optimizer, OOM recorded instead of crashing
+        # scan per B, same net/optimizer, OOM recorded instead of crashing.
+        # SETTLED (saturation at B32 documented, TPU_DESIGN.md §5.1):
+        # lean-profile runs carry the last measurement forward.
         sweep_bs = (16, 32, 48, 64) if jax.default_backend() != "cpu" \
             else (2, 4)   # CPU: exercise the code path only
+        if not FULL:
+            sweep_bs = ()
+            _carry_forward(detail,
+                           ["found_train_bf16_batch_sweep_clips_per_s"],
+                           "lean profile (MFAS_BENCH_FULL=0)")
         sweep = {}
         for bs in sweep_bs:
             if bs == B and t_full_bf16 is not None:
@@ -359,7 +517,8 @@ def bench_proxy(detail):
                 del rgb_s, ske_s, batch_s
             except Exception as e:  # noqa: BLE001 — OOM at large B is data
                 sweep[str(bs)] = f"error: {type(e).__name__}"
-        detail["found_train_bf16_batch_sweep_clips_per_s"] = sweep
+        if sweep:   # lean profile: don't clobber the carried value with {}
+            detail["found_train_bf16_batch_sweep_clips_per_s"] = sweep
 
     @jax.jit
     def infer_loop(trainable, frozen, eps):
@@ -445,6 +604,7 @@ def _search_args(packed_dir, ckpt_dir, batch, **overrides):
 
 
 def bench_search_wallclock(detail, tmp_root):
+    _maybe_inject("bench_search_wallclock")
     import jax
 
     from mfas_tpu.data.ntu_pack import make_synthetic_packed_ntu
@@ -527,8 +687,13 @@ def bench_search_wallclock(detail, tmp_root):
     # shape (served from the persistent cache on every later run).
     # worst observed cost: 2244 s on a slow-tunnel day (round 3) — the
     # guard must cover that, not just the typical ~700 s
+    # SETTLED on the lean profile (measured r03: 2245 s, r04-era sidecars
+    # carry 2200.61 s): the extrapolated basis it validates is unchanged
+    # code, so official runs carry it; MFAS_BENCH_FULL=1 (or
+    # MFAS_BENCH_SEQ_MEASURED=1) re-measures.
     wall_seq_measured = None
-    if os.environ.get("MFAS_BENCH_SEQ_MEASURED", "1") != "0":
+    _seq_default = "1" if FULL else "0"
+    if os.environ.get("MFAS_BENCH_SEQ_MEASURED", _seq_default) != "0":
         if _budget_left() > 2600:
             wall_seq_measured = run_search(sequential_candidates=True)[0]
         else:
@@ -538,6 +703,11 @@ def bench_search_wallclock(detail, tmp_root):
                                     "search_wallclock_measured_speedup",
                                     "search_wallclock_cached_measured_speedup"],
                            reason)
+    else:
+        _carry_forward(detail, ["search_wallclock_seq_measured_s",
+                                "search_wallclock_measured_speedup",
+                                "search_wallclock_cached_measured_speedup"],
+                       "lean profile (MFAS_BENCH_FULL=0)")
 
     # sequential per-candidate wall-clock: same engine/shape as the
     # reference's candidate loop; 2nd run of the SAME engine measures the
@@ -631,8 +801,19 @@ def bench_search_wallclock(detail, tmp_root):
     # costs (surrogate fit, sampling, bank build) are shown to amortize
     # rather than asserted. Sequential basis = extrapolation from the
     # same measured warm per-candidate cost.
-    if (on_tpu and os.environ.get("MFAS_BENCH_TREND", "1") != "0"
-            and _budget_left() > 900):
+    _trend_keys = ["search_trend_config", "search_trend_candidates",
+                   "search_trend_pop_s", "search_trend_pop_cached_s",
+                   "search_trend_seq_s", "search_trend_speedup",
+                   "search_trend_cached_speedup"]
+    _trend_on = os.environ.get("MFAS_BENCH_TREND",
+                               "1" if FULL else "0") != "0"
+    if on_tpu and not _trend_on:
+        # SETTLED (amortization shown at 26.4x/200x, r04 sidecar)
+        _carry_forward(detail, _trend_keys, "lean profile (MFAS_BENCH_FULL=0)")
+    elif on_tpu and _trend_on and _budget_left() <= 900:
+        _carry_forward(detail, _trend_keys,
+                       f"budget: {_budget_left():.0f}s left")
+    if (on_tpu and _trend_on and _budget_left() > 900):
         # NOTE: the CLI's --max_fusions parses into args.max_progression_levels
         big = dict(search_iterations=2, max_progression_levels=3,
                    num_samples=8)
@@ -667,11 +848,27 @@ def bench_search_wallclock(detail, tmp_root):
     # one chip? Population side runs the recommended --cache_features
     # config; the sequential basis is re-measured at 3 epochs (same warm
     # engine — more epochs is the same program run longer).
-    # MFAS_BENCH_FULLSCALE: "1" (default) = run on TPU, "0" = skip,
-    # "force" = run even on CPU (tiny-shape smoke of the section itself)
-    _fullscale_env = os.environ.get("MFAS_BENCH_FULLSCALE", "1")
+    # MFAS_BENCH_FULLSCALE: "1" = run on TPU (default only under
+    # MFAS_BENCH_FULL=1 — SETTLED at 547x cached / 24.5x uncached, r04
+    # sidecar), "0" = skip/carry, "force" = run even on CPU (tiny-shape
+    # smoke of the section itself)
+    _fullscale_env = os.environ.get("MFAS_BENCH_FULLSCALE",
+                                    "1" if FULL else "0")
     _fullscale_on = (_fullscale_env != "0"
                      and (on_tpu or _fullscale_env == "force"))
+    if on_tpu and not _fullscale_on:
+        _carry_forward(detail, ["search_fullscale_pop_cached_s",
+                                "search_fullscale_pop_cached_cold_s",
+                                "search_fullscale_pop_cached_resident_s",
+                                "search_fullscale_pop_s",
+                                "search_fullscale_seq_percand_s",
+                                "search_fullscale_seq_s",
+                                "search_fullscale_cached_speedup",
+                                "search_fullscale_cached_resident_speedup",
+                                "search_fullscale_speedup",
+                                "search_fullscale_candidates",
+                                "search_fullscale_config"],
+                       "lean profile (MFAS_BENCH_FULL=0)")
     if _fullscale_on and _budget_left() <= 900:
         _carry_forward(detail, ["search_fullscale_pop_cached_s",
                                 "search_fullscale_pop_cached_cold_s",
@@ -734,6 +931,7 @@ def bench_search_wallclock(detail, tmp_root):
 # Section 4: end-to-end input-fed found-arch training throughput
 # ---------------------------------------------------------------------------
 def bench_e2e_input(detail, tmp_root):
+    _maybe_inject("bench_e2e_input")
     import jax
     import jax.numpy as jnp
 
@@ -800,15 +998,21 @@ def bench_e2e_input(detail, tmp_root):
     # the running step, epoch time drops toward the h2d bound and the
     # old serialization was the LOADER's single blocking put; if it is
     # unchanged (or worse), the serialization is the transport's.
-    chunk_runs = {}
-    for n_chunks in (2, 4):
-        engine.h2d_chunks = n_chunks
-        epoch()                          # warm the concat programs
-        c1, _ = epoch()
-        c2, _ = epoch()
-        chunk_runs[str(n_chunks)] = round(nb * B / min(c1, c2), 2)
-    engine.h2d_chunks = None
-    detail["e2e_train_clips_per_s_chunked"] = chunk_runs
+    # SETTLED (negative result: chunking is a wash/worse, r04 sidecar +
+    # TPU_DESIGN.md §5.1) — lean-profile runs carry it forward.
+    if FULL:
+        chunk_runs = {}
+        for n_chunks in (2, 4):
+            engine.h2d_chunks = n_chunks
+            epoch()                      # warm the concat programs
+            c1, _ = epoch()
+            c2, _ = epoch()
+            chunk_runs[str(n_chunks)] = round(nb * B / min(c1, c2), 2)
+        engine.h2d_chunks = None
+        detail["e2e_train_clips_per_s_chunked"] = chunk_runs
+    else:
+        _carry_forward(detail, ["e2e_train_clips_per_s_chunked"],
+                       "lean profile (MFAS_BENCH_FULL=0)")
 
     # HBM-resident path (data/resident.py): the store is uploaded once and
     # batches become index plans (a few KB over the link); gather +
@@ -937,6 +1141,7 @@ def bench_e2e_input(detail, tmp_root):
 # Section 5: host input pipeline (native C++ gather+normalize)
 # ---------------------------------------------------------------------------
 def bench_host_input(detail):
+    _maybe_inject("bench_host_input")
     from mfas_tpu.data import native as nat
 
     B, IMG, T = 16, 256, 8
@@ -964,6 +1169,8 @@ def bench_host_input(detail):
 
 def main():
     import tempfile
+
+    _install_signal_fallback()
 
     from mfas_tpu.runtime.compile_cache import device_init_hangs
     if device_init_hangs():
@@ -1012,14 +1219,41 @@ def main():
 
     detail = {"device": str(jax.devices()[0]),
               "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
-              "compile_cache_dir": cache_dir}
+              "compile_cache_dir": cache_dir,
+              "bench_profile": "full" if FULL else "lean"}
     fast = os.environ.get("MFAS_BENCH_FAST") == "1"
+
+    # carry the dead-tunnel attempt log across runs (read BEFORE the first
+    # _emit rewrites the sidecar)
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "bench_detail.json")
+    try:
+        with open(sidecar) as f:
+            prev_attempts = json.load(f).get("tpu_unreachable_attempts")
+    except Exception:
+        prev_attempts = None
 
     try:
         speedup = bench_proxy(detail)
     except Exception as e:  # noqa: BLE001 — the final JSON line must print
         detail["bench_proxy_error"] = repr(e)
         speedup = 0.0
+
+    # headline: the measured END-TO-END search wall-clock speedup on the
+    # conservative (extrapolated-sequential) basis once the wall-clock
+    # section has run; the per-step proxy is the interim headline (and the
+    # final one for fast/CPU runs). Both bases and the fully-measured
+    # ratios live in the detail record. A record line is emitted after
+    # EVERY section: the driver tails stdout and the last line wins, so a
+    # kill mid-section still leaves the freshest complete record.
+    def headline():
+        return detail.get("search_wallclock_speedup", speedup)
+
+    _emit(detail, headline(), prev_attempts, partial_after="bench_proxy")
+
+    hang = float(os.environ.get("MFAS_BENCH_HANG_S", "0"))
+    if hang:   # test hook: simulate a stuck section (SIGTERM-fallback test)
+        time.sleep(hang)
 
     with tempfile.TemporaryDirectory() as tmp_root:
         if not fast:
@@ -1028,66 +1262,15 @@ def main():
                     section(detail, tmp_root)
                 except Exception as e:  # noqa: BLE001
                     detail[section.__name__ + "_error"] = repr(e)
+                _emit(detail, headline(), prev_attempts,
+                      partial_after=section.__name__)
         try:
             bench_host_input(detail)
         except Exception as e:  # noqa: BLE001
             detail["bench_host_input_error"] = repr(e)
 
-    # headline: the measured END-TO-END search wall-clock speedup on the
-    # conservative (extrapolated-sequential) basis when the wall-clock
-    # section ran; the per-step proxy is the fallback for fast/CPU runs.
-    # Both bases and the fully-measured ratios live in the detail record.
-    headline = detail.get("search_wallclock_speedup", speedup)
-
-    # full record -> sidecar file; printed line stays compact so the
-    # driver's bounded tail-capture window always parses it (the round-2
-    # record had parsed:null because the prose notes outgrew the window)
-    here = os.path.dirname(os.path.abspath(__file__))
-    sidecar = os.path.join(here, "bench_detail.json")
-    try:                 # carry the dead-tunnel attempt log across runs
-        with open(sidecar) as f:
-            prev_attempts = json.load(f).get("tpu_unreachable_attempts")
-    except Exception:
-        prev_attempts = None
-    record = {"metric": "mfas_search_speedup_vs_sequential_candidates",
-              "value": round(headline, 3), "unit": "x",
-              "vs_baseline": round(headline, 3),
-              "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
-              "detail": detail}
-    if prev_attempts:
-        record["tpu_unreachable_attempts"] = prev_attempts
-    with open(sidecar + ".tmp", "w") as f:   # atomic: a killed run never
-        json.dump(record, f, indent=1)       # leaves torn JSON
-    os.replace(sidecar + ".tmp", sidecar)
-
-    compact_keys = (
-        "device_kind",
-        "search_wallclock_speedup", "search_wallclock_cached_speedup",
-        "search_wallclock_resident_speedup",
-        "search_wallclock_cached_resident_speedup",
-        "search_wallclock_measured_speedup",
-        "search_wallclock_cached_measured_speedup",
-        "search_wallclock_seq_measured_s", "search_wallclock_seq_s",
-        "search_wallclock_pop_s", "search_wallclock_pop_cached_s",
-        "search_trend_speedup", "search_trend_cached_speedup",
-        "search_trend_candidates",
-        "search_fullscale_candidates", "search_fullscale_pop_cached_s",
-        "search_fullscale_cached_speedup", "search_fullscale_speedup",
-        "found_train_clips_per_s", "found_train_bf16_clips_per_s",
-        "found_train_bf16_batch_sweep_clips_per_s",
-        "found_infer_clips_per_s", "mfu_estimate_bf16",
-        "e2e_train_clips_per_s", "e2e_train_clips_per_s_resident",
-        "e2e_train_clips_per_s_resident_bf16",
-        "h2d_gbps", "search_speedup_proxy",
-    )
-    print(json.dumps({
-        "metric": "mfas_search_speedup_vs_sequential_candidates",
-        "value": round(headline, 3),
-        "unit": "x",
-        "vs_baseline": round(headline, 3),
-        "detail_file": "bench_detail.json",
-        "detail": {k: detail[k] for k in compact_keys if k in detail},
-    }))
+    detail["bench_wallclock_s"] = round(time.perf_counter() - _T0, 1)
+    _emit(detail, headline(), prev_attempts)
 
 
 if __name__ == "__main__":
