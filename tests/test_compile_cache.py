@@ -113,6 +113,57 @@ def test_device_init_hangs_cpu_pin_short_circuits(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# the cpu_aot_loader mismatch warning is benign: a cached CPU executable
+# loads and runs correctly in a FRESH process (no SIGILL, identical output)
+# (VERDICT r4 next-6 — the warning itself is fd-filtered by
+# runtime/logfilter.py; this test is the proof that filtering is safe)
+# ---------------------------------------------------------------------------
+def test_cached_executable_reload_fresh_process(tmp_path):
+    prog = (
+        "import numpy as np\n"
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from mfas_tpu.runtime.compile_cache import "
+        "enable_persistent_compilation_cache\n"
+        # min_compile_secs=0: even this tiny program is written to / served
+        # from the persistent cache
+        "enable_persistent_compilation_cache({d!r}, min_compile_secs=0.0)\n"
+        "import jax.numpy as jnp\n"
+        "f = jax.jit(lambda x: jnp.tanh(x @ x.T).sum())\n"
+        "x = jnp.asarray(np.random.RandomState(0).randn(64, 64), "
+        "jnp.float32)\n"
+        "print('RESULT', float(f(x)))\n"
+    ).format(d=str(tmp_path / "xla"))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)   # the suite's shared cache
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    def run():
+        return subprocess.run([sys.executable, "-c", prog], env=env,
+                              capture_output=True, text=True, timeout=300)
+
+    def entries():
+        root = _expected(str(tmp_path / "xla"))
+        return sorted(os.path.join(dp, f) for dp, _, fs in os.walk(root)
+                      for f in fs)
+
+    p1 = run()
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    files1 = entries()
+    assert files1, "first run must write a persistent cache entry"
+    p2 = run()
+    # rc=0 in a fresh process == no SIGILL on the AOT-loaded executable
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    r1 = [ln for ln in p1.stdout.splitlines() if ln.startswith("RESULT")]
+    r2 = [ln for ln in p2.stdout.splitlines() if ln.startswith("RESULT")]
+    assert r1 and r1 == r2, (p1.stdout, p2.stdout)
+    # same key => same file: any RE-compile would have added a new entry
+    # (min_compile_secs=0), so an unchanged file set proves run 2 was
+    # served from the cache — the load path actually executed
+    assert entries() == files1
+
+
+# ---------------------------------------------------------------------------
 # dryrun routing: on a single-chip tunnel deployment, n_devices>1 must go
 # straight to the CPU child — no TPU probe, no backend init in the parent
 # (the r03 artifact failed rc=124 exactly here)
