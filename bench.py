@@ -1056,9 +1056,14 @@ def bench_e2e_input(detail, tmp_root):
     # bound; bf16 lowers the step bound itself, so this is the full e2e
     # training ceiling of the framework on this link.
     if os.environ.get("MFAS_BENCH_BF16", "1") != "0":
+        # production wiring (main_found_ntu.py --hbm_resident --bf16):
+        # the prep emits bf16 straight from the fused gather+normalize
+        # kernel, so neither the gathered uint8 clip nor the f32
+        # intermediate round-trips HBM (r4 VERDICT item 5)
         res_engine = ClassifierEngine(model, multitask=True,
                                       input_keys=("rgb", "ske"),
-                                      batch_prep=make_resident_prep(),
+                                      batch_prep=make_resident_prep(
+                                          compute_dtype="bfloat16"),
                                       compute_dtype="bfloat16")
         r_trainable, r_frozen = partition(tree, model.param_predicate())
         r_opt = adam_init(r_trainable)

@@ -76,8 +76,9 @@ def parse_args():
                         help='with --cache_features: store the bank '
                              'symmetric-int8 with per-row f32 scales — 2x '
                              'the per-chip bank capacity of the bf16 '
-                             'default (4x vs --f32_features) and 4x less '
-                             'gather/ICI traffic; dequant fuses into the '
+                             'default (4x vs --f32_features) and 2x less '
+                             'gather/ICI traffic than bf16 (4x vs '
+                             '--f32_features); dequant fuses into the '
                              'epoch program (measured ranking agreement: '
                              'tests/test_feature_bank.py)')
     parser.add_argument('--bank_batch', type=int, default=None,

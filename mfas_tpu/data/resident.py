@@ -228,18 +228,40 @@ class ResidentLoader:
             yield batch
 
 
-def make_resident_prep(no_norm=False, use_pallas=None):
+def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
+                       fuse_gather=None):
     """Engine batch_prep: in-graph store gather + temporal resample +
     normalize. Composes with the engine's jitted step, so the whole input
-    path is one XLA program reading the batch out of HBM."""
+    path is one XLA program reading the batch out of HBM.
+
+    compute_dtype: emit normalized clips in this dtype (pass the engine's
+    compute_dtype). Under bf16 steps the unfused pipeline wrote a float32
+    clip to HBM only for the engine's cast to immediately read it back and
+    halve it — emitting bf16 straight from the normalize skips that f32
+    round-trip (4x the uint8 bytes written + read). Rounding is identical:
+    the affine math stays f32, the cast happens once on the store.
+
+    fuse_gather: run the sample+frame gather INSIDE the Pallas normalize
+    kernel (scalar-prefetch index map, ops/input_kernels.py
+    u8_gather_normalize) so the gathered uint8 clip never materializes in
+    HBM either. Defaults to use_pallas; pass False when the store is
+    SHARDED over a mesh axis (--shard_resident_store) — the fused kernel
+    is single-device, the XLA gather path lowers to the masked
+    local-gather + all-reduce collective. Falls back automatically when
+    the store's frame shape doesn't fit the kernel tiling."""
     import jax
     import jax.numpy as jnp
 
     from mfas_tpu.data.ntu import IMAGENET_MEAN, IMAGENET_STD
-    from mfas_tpu.ops.input_kernels import u8_normalize
+    from mfas_tpu.ops.input_kernels import (gather_normalize_supported,
+                                            u8_gather_normalize,
+                                            u8_normalize)
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if fuse_gather is None:
+        fuse_gather = use_pallas
+    out_dt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
     def prep(batch):
         batch = dict(batch)
@@ -247,9 +269,17 @@ def make_resident_prep(no_norm=False, use_pallas=None):
         rgb_store = batch.pop("_rgb_store", None)
         ske_store = batch.pop("_ske_store", None)
         if rgb_store is not None:
-            clips = rgb_store[idx[:, None], batch.pop("rgb_t")]
-            batch["rgb"] = u8_normalize(clips, IMAGENET_MEAN, IMAGENET_STD,
-                                        use_pallas=use_pallas)
+            rgb_t = batch.pop("rgb_t")
+            if fuse_gather and gather_normalize_supported(rgb_store.shape):
+                batch["rgb"] = u8_gather_normalize(
+                    rgb_store, idx, rgb_t, IMAGENET_MEAN, IMAGENET_STD,
+                    out_dtype=out_dt)
+            else:
+                clips = rgb_store[idx[:, None], rgb_t]
+                batch["rgb"] = u8_normalize(clips, IMAGENET_MEAN,
+                                            IMAGENET_STD,
+                                            use_pallas=use_pallas,
+                                            out_dtype=out_dt)
         else:
             batch["rgb"] = jnp.zeros((idx.shape[0], 1), jnp.float32)
         if ske_store is not None:

@@ -42,6 +42,113 @@ def test_frame_selection_fused():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_u8_normalize_bf16_out_is_one_rounding_of_f32():
+    """out_dtype=bf16 must equal the f32 result cast once (the kernel keeps
+    the affine in f32 and rounds only on the store) — on both paths."""
+    rs = np.random.RandomState(3)
+    x = rs.randint(0, 256, (2, 3, 8, 8, 3), np.uint8)
+    want = u8_normalize(jnp.asarray(x), MEAN, STD,
+                        use_pallas=False).astype(jnp.bfloat16)
+    got_pl = u8_normalize(jnp.asarray(x), MEAN, STD, interpret=True,
+                          out_dtype=jnp.bfloat16)
+    got_xla = u8_normalize(jnp.asarray(x), MEAN, STD, use_pallas=False,
+                           out_dtype=jnp.bfloat16)
+    assert got_pl.dtype == jnp.bfloat16 and got_xla.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got_pl, np.float32),
+                                  np.asarray(want, np.float32))
+    np.testing.assert_array_equal(np.asarray(got_xla, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_u8_gather_normalize_equals_gather_then_normalize():
+    """Fused scalar-prefetch gather+normalize == XLA gather + u8_normalize,
+    exactly (same f32 affine, same single rounding)."""
+    from mfas_tpu.ops.input_kernels import (gather_normalize_supported,
+                                            u8_gather_normalize)
+
+    rs = np.random.RandomState(4)
+    # (N samples, F frames, H, W, 3) with H*W*3 a multiple of the 384*8 pad
+    # unit: 32*32*3 = 3072 = 384*8 exactly
+    store = rs.randint(0, 256, (3, 5, 32, 32, 3), np.uint8)
+    assert gather_normalize_supported(store.shape)
+    sample_idx = np.array([2, 0], np.int32)
+    frame_idx = np.array([[0, 2, 4], [1, 1, 3]], np.int32)
+
+    st = jnp.asarray(store)
+    gathered = st[jnp.asarray(sample_idx)[:, None], jnp.asarray(frame_idx)]
+    # same kernel body + tiling -> bitwise equal to the unfused Pallas pass
+    want_pl = u8_normalize(gathered, MEAN, STD, interpret=True)
+    # XLA fallback may fuse the affine differently (FMA) -> tolerance
+    want_xla = u8_normalize(gathered, MEAN, STD, use_pallas=False)
+    for dt in (jnp.float32, jnp.bfloat16):
+        got = u8_gather_normalize(st, jnp.asarray(sample_idx),
+                                  jnp.asarray(frame_idx), MEAN, STD,
+                                  out_dtype=dt, interpret=True)
+        assert got.shape == (2, 3, 32, 32, 3) and got.dtype == dt
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(want_pl.astype(dt),
+                                                 np.float32))
+    got32 = u8_gather_normalize(st, jnp.asarray(sample_idx),
+                                jnp.asarray(frame_idx), MEAN, STD,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(want_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_normalize_supported_gate():
+    from mfas_tpu.ops.input_kernels import gather_normalize_supported
+
+    assert gather_normalize_supported((4, 8, 32, 32, 3))      # 3072 % 3072
+    assert gather_normalize_supported((4, 8, 256, 256, 3))
+    assert gather_normalize_supported((4, 8, 160, 256, 3))
+    assert not gather_normalize_supported((4, 8, 16, 16, 3))  # 768 < unit
+    assert not gather_normalize_supported((4, 8, 32, 32, 1))  # not 3-chan
+
+
+def test_resident_prep_fused_and_bf16_match_unfused(tmp_path):
+    """make_resident_prep(fuse_gather=True) and compute_dtype=bf16 must
+    reproduce the unfused f32 path's clips (cast once for bf16)."""
+    from mfas_tpu.data.resident import make_resident_prep
+
+    rs = np.random.RandomState(5)
+    store = jnp.asarray(rs.randint(0, 256, (3, 6, 32, 32, 3), np.uint8))
+
+    def batch():
+        return {
+            "_idx": jnp.asarray([1, 2], np.int32),
+            "_rgb_store": store,
+            "rgb_t": jnp.asarray([[0, 2, 5], [1, 3, 4]], np.int32),
+            "label": jnp.asarray([0, 1], np.int32),
+        }
+
+    base = make_resident_prep(use_pallas=False, fuse_gather=False)(batch())
+    # interpret mode isn't plumbed through prep; monkeypatch the kernel's
+    # entry to interpret=True for the CPU test (make_resident_prep binds
+    # the name at build time, so patch first, then build the preps)
+    import mfas_tpu.ops.input_kernels as ik
+    orig = ik.u8_gather_normalize
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    try:
+        ik.u8_gather_normalize = interp
+        fused = make_resident_prep(fuse_gather=True)(batch())
+        bf16 = make_resident_prep(fuse_gather=True,
+                                  compute_dtype="bfloat16")(batch())
+    finally:
+        ik.u8_gather_normalize = orig
+    # fused (Pallas) vs unfused (XLA) may differ by FMA rounding only
+    np.testing.assert_allclose(np.asarray(fused["rgb"]),
+                               np.asarray(base["rgb"]), rtol=1e-5, atol=1e-5)
+    # bf16 out == the fused f32 result rounded once (same kernel)
+    assert bf16["rgb"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(bf16["rgb"], np.float32),
+        np.asarray(fused["rgb"].astype(jnp.bfloat16), np.float32))
+
+
 def test_packed_device_normalize_matches_host_path(tmp_path):
     """PackedNTU(device_normalize=True) raw-u8 samples, run through the
     search-path inputs prep, equal the host-normalized samples — the

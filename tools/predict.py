@@ -49,7 +49,7 @@ def _ntu_loader(args):
                        transform=tfm_val, args=args)
     else:
         ds = d.NTU(args.datadir, transform=tfm_val, stage=args.split,
-                   vid_dim=args.vid_dim, args=args)
+                   vid_dim=args.vid_dim, vid_fr=args.vid_fr, args=args)
     return MapLoader(ds, args.batchsize, num_workers=args.num_workers)
 
 
@@ -91,6 +91,10 @@ def main(argv=None):
                    help="ntu: packed store (tools/pack_ntu) instead of AVIs")
     p.add_argument("--vid_len", type=int, nargs="+", default=[8, 32])
     p.add_argument("--vid_dim", type=int, default=256)
+    p.add_argument("--vid_fr", type=int, default=30,
+                   help="ntu: frame rate of the AVI directory "
+                        "(avi_{dim}x{dim}_{fr}); matches main_found_ntu's "
+                        "--vid_fr so non-default-rate datasets evaluate")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--feat_dim", type=int, default=300)
     p.add_argument("--len_data", type=int, default=None,
