@@ -1057,9 +1057,10 @@ def bench_e2e_input(detail, tmp_root):
     # training ceiling of the framework on this link.
     if os.environ.get("MFAS_BENCH_BF16", "1") != "0":
         # production wiring (main_found_ntu.py --hbm_resident --bf16):
-        # the prep emits bf16 straight from the fused gather+normalize
-        # kernel, so neither the gathered uint8 clip nor the f32
-        # intermediate round-trips HBM (r4 VERDICT item 5)
+        # the prep emits bf16 straight from the XLA gather+normalize
+        # (affine in f32, one rounding on the store), so the f32
+        # intermediate never round-trips HBM (r4 VERDICT item 5;
+        # Pallas variants measured and rejected, TPU_DESIGN.md §5.4)
         res_engine = ClassifierEngine(model, multitask=True,
                                       input_keys=("rgb", "ske"),
                                       batch_prep=make_resident_prep(

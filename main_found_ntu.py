@@ -198,16 +198,14 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
     batch_prep = None
     if getattr(args, 'hbm_resident', False):
         from mfas_tpu.data.resident import make_resident_prep
-        # bf16 steps get bf16 clips straight from the fused normalize (no
-        # f32 round-trip); a sharded store keeps the XLA gather path (the
-        # fused kernel is single-device, GSPMD handles the collective)
+        # bf16 steps get bf16 clips straight from the in-graph normalize
+        # (one rounding, no f32 HBM round-trip); gather+normalize stay on
+        # the XLA lowering — measured at the dispatch floor vs a 6-9x
+        # slower Pallas kernel (make_resident_prep docstring)
         batch_prep = make_resident_prep(
             no_norm=args.no_norm,
             compute_dtype="bfloat16" if getattr(args, 'bf16', False)
-            else None,
-            fuse_gather=(False
-                         if getattr(args, 'shard_resident_store', False)
-                         else None))
+            else None)
     elif getattr(args, 'device_input_normalize', False):
         from mfas_tpu.data.ntu_pack import make_device_normalize_prep
         batch_prep = make_device_normalize_prep()

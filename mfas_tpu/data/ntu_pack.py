@@ -160,14 +160,20 @@ class PackedNTU:
 
 def make_device_normalize_prep(use_pallas=None):
     """Engine batch_prep hook: in-graph uint8 -> normalized float32 for the
-    'rgb' modality (fused Pallas kernel on TPU; identical XLA math on
-    backends without Mosaic)."""
-    import jax
+    'rgb' modality.
+
+    use_pallas defaults to False on every backend: measured on TPU v5e at
+    the production shape (16x8x256x256x3), XLA's convert+fma lowering runs
+    the normalize at the dispatch floor (~1.4 ms) while the Pallas kernel
+    costs a real 6-9 ms (u8 widening is lane-inefficient on the VPU) — a
+    6-9x loss, same verdict as the Pallas conv1x1 experiment
+    (docs/TPU_DESIGN.md §5.4). The kernel stays available for A/B runs."""
+    import jax  # noqa: F401  (kept: callers toggle backends in-process)
     from mfas_tpu.data.ntu import IMAGENET_MEAN, IMAGENET_STD
     from mfas_tpu.ops.input_kernels import u8_normalize
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
 
     def prep(batch):
         batch = dict(batch)
@@ -187,15 +193,15 @@ def make_device_normalize_prep(use_pallas=None):
 def make_device_normalize_inputs_prep(use_pallas=None):
     """PopulationTrainer input_prep hook: normalizes every uint8 element of
     the inputs tuple in-graph (the search-path twin of
-    make_device_normalize_prep)."""
-    import jax
+    make_device_normalize_prep; same measured XLA-wins-6-9x default)."""
+    import jax  # noqa: F401
     import jax.numpy as jnp
 
     from mfas_tpu.data.ntu import IMAGENET_MEAN, IMAGENET_STD
     from mfas_tpu.ops.input_kernels import u8_normalize
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
 
     def prep(inputs):
         return tuple(

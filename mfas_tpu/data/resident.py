@@ -241,15 +241,20 @@ def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
     round-trip (4x the uint8 bytes written + read). Rounding is identical:
     the affine math stays f32, the cast happens once on the store.
 
-    fuse_gather: run the sample+frame gather INSIDE the Pallas normalize
-    kernel (scalar-prefetch index map, ops/input_kernels.py
-    u8_gather_normalize) so the gathered uint8 clip never materializes in
-    HBM either. Defaults to use_pallas; pass False when the store is
-    SHARDED over a mesh axis (--shard_resident_store) — the fused kernel
-    is single-device, the XLA gather path lowers to the masked
-    local-gather + all-reduce collective. Falls back automatically when
-    the store's frame shape doesn't fit the kernel tiling."""
-    import jax
+    use_pallas / fuse_gather: BOTH default False — measured negative
+    results on TPU v5e at the production shape (16x8x256x256x3 from a
+    192-clip store; /tmp probe 2026-08-19, recorded in docs/TPU_DESIGN.md
+    §5.4): XLA's gather + convert + fma runs at the dispatch floor
+    (~1.0-1.5 ms) while the Pallas normalize costs 6-9 ms (u8 widening is
+    lane-inefficient on the VPU) and the scalar-prefetch fused
+    gather+normalize kernel 32-34 ms (per-frame blocks defeat DMA
+    pipelining). Both kernels stay available for A/B runs and for shapes
+    where XLA's gather lowering regresses; fuse_gather also requires an
+    UNSHARDED store (the kernel is single-device — under
+    --shard_resident_store the XLA gather lowers to the masked
+    local-gather + all-reduce collective) and falls back automatically
+    when the store's frame shape doesn't fit the kernel tiling."""
+    import jax  # noqa: F401  (kept: callers toggle backends in-process)
     import jax.numpy as jnp
 
     from mfas_tpu.data.ntu import IMAGENET_MEAN, IMAGENET_STD
@@ -258,9 +263,9 @@ def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
                                             u8_normalize)
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     if fuse_gather is None:
-        fuse_gather = use_pallas
+        fuse_gather = False
     out_dt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
     def prep(batch):
