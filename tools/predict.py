@@ -146,4 +146,9 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    # drop the known-benign cpu_aot_loader feature-dump ERROR lines
+    # (persistent-cache AOT loads; proof of benignity in
+    # mfas_tpu/runtime/logfilter.py) so interactive runs stay readable
+    from mfas_tpu.runtime.logfilter import filter_stderr_lines
+    with filter_stderr_lines():
+        main()
