@@ -95,6 +95,23 @@ def _budget_left():
 _PREV_SIDECAR = None
 
 
+def _sidecar_path():
+    """bench_detail.json is the OFFICIAL (TPU) record and the carry-forward
+    source for official runs; an ad-hoc CPU run of the real bench.py must
+    not clobber it (observed r05: a CPU validation run overwrote the fresh
+    on-chip sidecar), so non-TPU backends get their own suffixed file."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    backend = "unknown"
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:  # noqa: BLE001 — pre-init / dead tunnel: official file
+        backend = "tpu"
+    name = ("bench_detail.json" if backend == "tpu"
+            else "bench_detail.%s.json" % backend)
+    return os.path.join(here, name)
+
+
 def _load_prev_sidecar():
     """Snapshot the PREVIOUS run's sidecar exactly once per process.
     _emit rewrites bench_detail.json after every section, so a late
@@ -103,9 +120,8 @@ def _load_prev_sidecar():
     previous run, whenever it is read."""
     global _PREV_SIDECAR
     if _PREV_SIDECAR is None:
-        here = os.path.dirname(os.path.abspath(__file__))
         try:
-            with open(os.path.join(here, "bench_detail.json")) as f:
+            with open(_sidecar_path()) as f:
                 _PREV_SIDECAR = json.load(f)
         except Exception:  # noqa: BLE001 — no sidecar, nothing to carry
             _PREV_SIDECAR = {}
@@ -180,8 +196,7 @@ def _emit(detail, headline, prev_attempts=None, partial_after=None):
     errors = sorted(k for k in detail if k.endswith("_error"))
     carried = sorted(k[: -len("_carried_from")] for k in detail
                      if k.endswith("_carried_from"))
-    here = os.path.dirname(os.path.abspath(__file__))
-    sidecar = os.path.join(here, "bench_detail.json")
+    sidecar = _sidecar_path()
     record = {"metric": "mfas_search_speedup_vs_sequential_candidates",
               "value": round(headline, 3), "unit": "x",
               "vs_baseline": round(headline, 3),
@@ -204,7 +219,7 @@ def _emit(detail, headline, prev_attempts=None, partial_after=None):
         "unit": "x",
         "vs_baseline": round(headline, 3),
         "measured_at": record["measured_at"],
-        "detail_file": "bench_detail.json",
+        "detail_file": os.path.basename(_sidecar_path()),
         "detail": {k: detail[k] for k in _COMPACT_KEYS if k in detail},
     }
     if errors:
@@ -652,15 +667,69 @@ def bench_search_wallclock(detail, tmp_root):
     # (live feature bank for the cached variant), the symmetric basis to
     # the sequential side below (which also times a resident engine — the
     # reference pays no per-candidate compile or retrace either).
-    # min-of-2 damps 1-core host-scheduling noise.
+    # min-of-N damps 1-core host-scheduling noise.
     wall_pop_cold, pop_searcher = run_search()
-    wall_pop = min2("pop", lambda: run_search()[0], lambda: run_search()[0])
-    wall_pop_res = min2("pop_resident",
-                        lambda: run_search(searcher=pop_searcher)[0],
-                        lambda: run_search(searcher=pop_searcher)[0])
     args = pop_searcher.args
     n_trained = 32 + args.num_samples  # level 0 trains all 32 unfoldings,
     # level 1 trains the K sampled (reference searchable.py:48-137)
+
+    # Build the sequential per-candidate engine NOW (same engine/shape as
+    # the reference's candidate loop) so pop runs and per-candidate runs
+    # can be timed in adjacent PAIRS below: this deployment's tunnel/host
+    # throughput drifts minute to minute (observed r05: the same fed pop
+    # search measured 73 s inside one bench run and 33-42 s half an hour
+    # later), and when the two sides of the speedup ratio are measured
+    # minutes apart the drift lands in the RATIO (observed official
+    # headlines 9.26x vs 26.13x across runs of semantically identical
+    # code). Pairing makes each ratio sample see one tunnel state; the
+    # median pair-ratio is the headline.
+    seq_args = _search_args(packed, tmp_root, batch, epochs=epochs,
+                            sequential_candidates=True)
+    seq_searcher = NTUSearcher(seq_args)
+    seq = seq_searcher.train_fn
+    from mfas_tpu.core.module import tree_set
+    from mfas_tpu.core.sched import LRCosineAnnealingScheduler
+    from mfas_tpu.engine.classifier import ClassifierEngine
+
+    conf = np.array([[3, 1, 1], [1, 3, 0]])
+    model = Searchable_Skeleton_Image_Net(seq_args, conf)
+    tree = model.init(1)
+    for attr, btree in seq.backbone_trees.items():
+        tree = tree_set(tree, attr, btree)
+    engine = ClassifierEngine(model, multitask=False,
+                              input_keys=("rgb", "ske"),
+                              batch_prep=seq.batch_prep)
+    seq_loaders = seq_searcher.dataloaders
+    sizes = {k: dl.dataset_size for k, dl in seq_loaders.items()}
+
+    def one_candidate(num_epochs=epochs):
+        sched = LRCosineAnnealingScheduler(
+            seq_args.eta_max, seq_args.eta_min, seq_args.Ti, seq_args.Tm,
+            sizes["train"] / seq_args.batchsize)
+        t0 = time.perf_counter()
+        engine.train_track_acc(tree, model.central_params(), seq_loaders,
+                               sizes, sched, num_epochs=num_epochs,
+                               print_loss=False)
+        return time.perf_counter() - t0
+
+    one_candidate()                      # cold (compiles train+eval)
+
+    pairs = []                           # (t_pop, t_cand) timed back-to-back
+    for _ in range(3 if on_tpu else 2):
+        pairs.append((run_search()[0], one_candidate()))
+    wall_pop = min(tp for tp, _ in pairs)
+    t_cand = min(tc for _, tc in pairs)
+    spreads["pop"] = [round(tp, 2) for tp, _ in pairs]
+    spreads["seq_percand"] = [round(tc, 2) for _, tc in pairs]
+    pair_ratios = sorted(n_trained * tc / tp for tp, tc in pairs)
+    n_r = len(pair_ratios)
+    speedup_paired = (pair_ratios[n_r // 2] if n_r % 2
+                      else (pair_ratios[n_r // 2 - 1]
+                            + pair_ratios[n_r // 2]) / 2)
+
+    wall_pop_res = min2("pop_resident",
+                        lambda: run_search(searcher=pop_searcher)[0],
+                        lambda: run_search(searcher=pop_searcher)[0])
 
     # opt-in HBM-resident feature bank (--cache_features): backbones run
     # once per sample total, all later epochs/populations gather from HBM
@@ -709,39 +778,9 @@ def bench_search_wallclock(detail, tmp_root):
                                 "search_wallclock_cached_measured_speedup"],
                        "lean profile (MFAS_BENCH_FULL=0)")
 
-    # sequential per-candidate wall-clock: same engine/shape as the
-    # reference's candidate loop; 2nd run of the SAME engine measures the
-    # warm program (compile excluded — see module docstring)
-    seq_args = _search_args(packed, tmp_root, batch, epochs=epochs,
-                            sequential_candidates=True)
-    seq_searcher = NTUSearcher(seq_args)
-    seq = seq_searcher.train_fn
-    from mfas_tpu.core.module import tree_set
-    from mfas_tpu.core.sched import LRCosineAnnealingScheduler
-    from mfas_tpu.engine.classifier import ClassifierEngine
-
-    conf = np.array([[3, 1, 1], [1, 3, 0]])
-    model = Searchable_Skeleton_Image_Net(seq_args, conf)
-    tree = model.init(1)
-    for attr, btree in seq.backbone_trees.items():
-        tree = tree_set(tree, attr, btree)
-    engine = ClassifierEngine(model, multitask=False,
-                              input_keys=("rgb", "ske"),
-                              batch_prep=seq.batch_prep)
-    loaders = seq_searcher.dataloaders
-    sizes = {k: dl.dataset_size for k, dl in loaders.items()}
-
-    def one_candidate(num_epochs=epochs):
-        sched = LRCosineAnnealingScheduler(
-            seq_args.eta_max, seq_args.eta_min, seq_args.Ti, seq_args.Tm,
-            sizes["train"] / seq_args.batchsize)
-        t0 = time.perf_counter()
-        engine.train_track_acc(tree, model.central_params(), loaders, sizes,
-                               sched, num_epochs=num_epochs, print_loss=False)
-        return time.perf_counter() - t0
-
-    one_candidate()                      # cold (compiles train+eval)
-    t_cand = min2("seq_percand", one_candidate, one_candidate)   # warm
+    # sequential wall-clock basis: candidates x the warm per-candidate
+    # time measured in the interleaved pairs above (compile excluded —
+    # see module docstring)
     wall_seq = n_trained * t_cand
 
     detail.update({
@@ -762,7 +801,9 @@ def bench_search_wallclock(detail, tmp_root):
             "img": img, "batch": batch, "n_train": n_train, "n_dev": n_dev,
             "search_iterations": 1, "max_fusions": 2, "num_samples": 4,
             "epochs": epochs},
-        "search_wallclock_speedup": round(wall_seq / wall_pop, 2),
+        "search_wallclock_speedup": round(speedup_paired, 2),
+        "search_wallclock_speedup_pairs": [round(r, 2) for r in pair_ratios],
+        "search_wallclock_speedup_minbasis": round(wall_seq / wall_pop, 2),
         "search_wallclock_note": (
             "pop = full EPNAS loop incl. surrogate/sampling/host IO, WARM "
             "run (a NEW searcher in the same process; it shares the "
@@ -772,7 +813,11 @@ def bench_search_wallclock(detail, tmp_root):
             "candidates x measured WARM "
             "per-candidate training wall-clock (per-candidate XLA compile "
             "and model-build excluded, matching basis: the reference pays "
-            "no per-candidate compile). seq_measured = ONE real "
+            "no per-candidate compile). speedup = MEDIAN of per-PAIR "
+            "ratios (each pop run timed back-to-back with a per-candidate "
+            "run, so tunnel/host drift between the two sides of a ratio "
+            "cancels; min-basis ratio kept for comparison). "
+            "seq_measured = ONE real "
             "--sequential_candidates EPNAS run of the same config, "
             "including the per-candidate model-build/retrace costs the "
             "extrapolation excludes (headline speedups stay on the "
@@ -1230,11 +1275,9 @@ def main():
     fast = os.environ.get("MFAS_BENCH_FAST") == "1"
 
     # carry the dead-tunnel attempt log across runs (read BEFORE the first
-    # _emit rewrites the sidecar)
-    here = os.path.dirname(os.path.abspath(__file__))
-    sidecar = os.path.join(here, "bench_detail.json")
+    # _emit rewrites the sidecar; same backend-suffixed file _emit writes)
     try:
-        with open(sidecar) as f:
+        with open(_sidecar_path()) as f:
             prev_attempts = json.load(f).get("tpu_unreachable_attempts")
     except Exception:
         prev_attempts = None

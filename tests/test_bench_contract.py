@@ -87,7 +87,11 @@ def test_fast_run_exits_zero_and_prints_records(fast_run):
 def test_fast_run_sidecar_is_valid_json(fast_run):
     proc, _, tmp = fast_run
     assert proc.returncode == 0
-    with open(os.path.join(tmp, "bench_detail.json")) as f:
+    # non-TPU backends write a SUFFIXED sidecar so ad-hoc CPU validation
+    # runs can never clobber the official on-chip bench_detail.json (and
+    # never poison its carry-forward chain)
+    assert not os.path.exists(os.path.join(tmp, "bench_detail.json"))
+    with open(os.path.join(tmp, "bench_detail.cpu.json")) as f:
         record = json.load(f)
     assert record["detail"]["device_kind"] == "cpu"
     assert record["measured_at"]
