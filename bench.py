@@ -179,7 +179,8 @@ _COMPACT_KEYS = (
     "search_fullscale_cached_speedup", "search_fullscale_speedup",
     "found_train_clips_per_s", "found_train_bf16_clips_per_s",
     "found_train_bf16_batch_sweep_clips_per_s",
-    "found_infer_clips_per_s", "mfu_estimate_bf16",
+    "found_infer_clips_per_s", "found_infer_bf16_clips_per_s",
+    "mfu_estimate_bf16",
     "e2e_train_clips_per_s", "e2e_train_clips_per_s_resident",
     "e2e_train_clips_per_s_resident_bf16",
     "h2d_gbps", "search_speedup_proxy",
@@ -548,6 +549,24 @@ def bench_proxy(detail):
 
     t_infer = _timeit(lambda: infer_loop(trainable, frozen, zero), inner=INNER)
 
+    t_infer_bf16 = None
+    if with_bf16:
+        # serving dtype (tools/export_model.py --bf16 bakes the same
+        # mixed-precision scheme into the StableHLO artifact)
+        @jax.jit
+        def infer_loop_bf16(trainable, frozen, eps):
+            def body(acc, _):
+                b = dict(batch)
+                b["rgb"] = batch["rgb"] + acc * eps
+                loss, corr = engine_bf16._eval_step_impl(trainable, frozen, b)
+                return loss, None
+
+            acc, _ = lax.scan(body, jnp.float32(0), None, length=INNER)
+            return acc
+
+        t_infer_bf16 = _timeit(
+            lambda: infer_loop_bf16(trainable, frozen, zero), inner=INNER)
+
     peak = _peak_tflops(jax.devices()[0])
     detail.update({
         "batch": B, "img": IMG, "K": K,
@@ -563,6 +582,8 @@ def bench_proxy(detail):
         "found_train_clips_per_s": round(B / t_full, 2),
         "found_infer_clips_per_s": round(B / t_infer, 2),
     })
+    if t_infer_bf16 is not None:
+        detail["found_infer_bf16_clips_per_s"] = round(B / t_infer_bf16, 2)
     if flops_step is not None:
         achieved = flops_step / t_full / 1e12
         detail["found_train_step_tflops"] = round(flops_step / 1e12, 3)

@@ -173,6 +173,31 @@ def tree_size(tree: dict) -> int:
     return sum(v.size for v in flatten_tree(tree).values() if v is not None)
 
 
+# BatchNorm running-stat buffer names: mixed-precision casts skip these —
+# re-quantizing the carried EMA to a narrow dtype on every cast would decay
+# the statistics (the BN layer itself casts them to the activation dtype
+# just for the normalization math, without writing the cast back)
+BN_BUFFERS = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def cast_compute(tree, dtype):
+    """Cast every floating leaf of ``tree`` (any pytree) to ``dtype``,
+    EXCEPT BatchNorm running-stat buffers (``BN_BUFFERS``).  No-op when
+    ``dtype`` is None.  The mixed-precision primitive shared by the train
+    engines (per-step compute cast) and the serving export (weights baked
+    as bf16 constants)."""
+    if dtype is None:
+        return tree
+    dt = jnp.dtype(dtype)
+
+    def cast(path, x):
+        if path and getattr(path[-1], "key", None) in BN_BUFFERS:
+            return x
+        return x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
 # --------------------------------------------------------------------------
 # Module
 # --------------------------------------------------------------------------

@@ -124,23 +124,12 @@ class ClassifierEngine:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # ---------------- compiled bodies
-    _BN_BUFFERS = ("running_mean", "running_var", "num_batches_tracked")
-
     def _cast_compute(self, tree):
         """Cast float leaves to the compute dtype, EXCEPT BatchNorm's
         running-stat buffers: casting them would re-quantize the carried
-        EMA to bf16 every step (the layer casts stats to the activation
-        dtype itself just for normalization)."""
-        if self.compute_dtype is None:
-            return tree
-        dt = jnp.dtype(self.compute_dtype)
-
-        def cast(path, x):
-            if path and getattr(path[-1], "key", None) in self._BN_BUFFERS:
-                return x
-            return x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
-
-        return jax.tree_util.tree_map_with_path(cast, tree)
+        EMA to bf16 every step (core.module.cast_compute)."""
+        from mfas_tpu.core.module import cast_compute
+        return cast_compute(tree, self.compute_dtype)
 
     def _forward(self, tree, ctx, batch):
         if self.batch_prep is not None:

@@ -172,6 +172,42 @@ def test_export_polymorphic_batch(tmp_path, vertical):
         assert got.shape == (B, n_out), (vertical, got.shape)
 
 
+def test_export_bf16_artifact(tmp_path):
+    """--bf16: the artifact keeps an f32 interface, tracks the f32 export
+    to bf16 tolerance, and is materially smaller (weights baked as bf16
+    constants)."""
+    from mfas_tpu.runtime.export import load_exported
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    outs = {}
+    for tag, extra in (("f32", []), ("bf16", ["--bf16"])):
+        out = str(tmp_path / f"m_{tag}.stablehlo")
+        run = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "export_model.py"),
+             "avmnist", "--conf", "0", "--random_init", "--channels", "4",
+             "--inner_representation_size", "8", "--batch", "2",
+             "--out", out, *extra],
+            env=env, capture_output=True, text=True, timeout=600)
+        assert run.returncode == 0, (tag, run.stdout + run.stderr)
+        outs[tag] = out
+
+    rs = np.random.RandomState(2)
+    image = rs.randn(2, 1, 28, 28).astype(np.float32)
+    audio = rs.randn(2, 1, 112, 112).astype(np.float32)
+    # --random_init seeds identically across invocations (seed 0), so the
+    # two artifacts hold the same weights at different dtypes
+    want = np.asarray(load_exported(outs["f32"]).call(image, audio))
+    got = np.asarray(load_exported(outs["bf16"]).call(image, audio))
+    assert got.dtype == np.float32, got.dtype        # interface stays f32
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    assert not np.allclose(got, want, rtol=1e-7, atol=1e-7)  # really bf16
+    size_f32 = os.path.getsize(outs["f32"])
+    size_bf16 = os.path.getsize(outs["bf16"])
+    assert size_bf16 < 0.75 * size_f32, (size_bf16, size_f32)
+
+
 def test_export_is_multi_platform(tmp_path):
     """Artifacts lower for cpu+tpu+cuda by default, so a CPU-exported
     model runs on a TPU/GPU serving host (jax.export's platform check)."""

@@ -89,6 +89,13 @@ def main(argv=None):
     p.add_argument("--platforms", type=str, default="cpu,tpu,cuda",
                    help="comma list of serving platforms lowered into the "
                         "artifact (jax.export multi-platform)")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bake the weights in as bfloat16 constants and run "
+                        "the forward in bf16 (same mixed-precision scheme "
+                        "as the train engines' --bf16: BatchNorm running "
+                        "stats stay f32, logits return as f32). Halves the "
+                        "artifact size and ~doubles MXU serving throughput; "
+                        "the artifact's input/output interface stays f32")
     # model hyperparameters (defaults = the found-CLI defaults)
     p.add_argument("--num_outputs", type=int, default=None)
     p.add_argument("--inner_representation_size", type=int, default=None)
@@ -165,16 +172,25 @@ def main(argv=None):
         tree = tree_from_state_dict(sd, template=tree)
 
     import jax
-    from mfas_tpu.core.module import Ctx
+    import jax.numpy as jnp
+    from mfas_tpu.core.module import Ctx, cast_compute
     from mfas_tpu.runtime.export import save_exported
+
+    if args.bf16:
+        # cast ONCE here so the artifact's baked weight constants are
+        # bf16 (half the bytes); BN running stats stay f32 (cast_compute)
+        tree = cast_compute(tree, jnp.bfloat16)
 
     def fwd(*inputs):
         ctx = Ctx(train=False)
+        if args.bf16:
+            inputs = cast_compute(inputs, jnp.bfloat16)
         out = (model.apply(tree, ctx, inputs) if call_style == "tuple"
                else model.apply(tree, ctx, *inputs))
         # serving surface: the fused logits (multitask heads and aux
         # outputs stay out of the artifact — sum downstream if needed)
-        return out[out_index] if isinstance(out, (tuple, list)) else out
+        out = out[out_index] if isinstance(out, (tuple, list)) else out
+        return out.astype(jnp.float32) if args.bf16 else out
 
     if args.polymorphic_batch:
         from jax import export as jexport
