@@ -128,8 +128,9 @@ def test_export_cli_all_verticals_smoke(tmp_path):
 import pytest
 
 _POLY_CASES = {
+    # --bf16 composes with --polymorphic_batch (one bf16 artifact, any B)
     "avmnist": (["avmnist", "--conf", "0", "--channels", "4",
-                 "--inner_representation_size", "8"],
+                 "--inner_representation_size", "8", "--bf16"],
                 ((1, 28, 28), (1, 112, 112)), 10),
     # the REAL NTU architecture, shrunken via the found-CLI knobs so the
     # inflated-ResNet3D + HCN trace stays CPU-sized
