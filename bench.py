@@ -922,31 +922,22 @@ def bench_search_wallclock(detail, tmp_root):
                                     "1" if FULL else "0")
     _fullscale_on = (_fullscale_env != "0"
                      and (on_tpu or _fullscale_env == "force"))
+    _fullscale_keys = ["search_fullscale_pop_cached_s",
+                       "search_fullscale_pop_cached_cold_s",
+                       "search_fullscale_pop_cached_resident_s",
+                       "search_fullscale_pop_s",
+                       "search_fullscale_seq_percand_s",
+                       "search_fullscale_seq_s",
+                       "search_fullscale_cached_speedup",
+                       "search_fullscale_cached_resident_speedup",
+                       "search_fullscale_speedup",
+                       "search_fullscale_candidates",
+                       "search_fullscale_config"]
     if on_tpu and not _fullscale_on:
-        _carry_forward(detail, ["search_fullscale_pop_cached_s",
-                                "search_fullscale_pop_cached_cold_s",
-                                "search_fullscale_pop_cached_resident_s",
-                                "search_fullscale_pop_s",
-                                "search_fullscale_seq_percand_s",
-                                "search_fullscale_seq_s",
-                                "search_fullscale_cached_speedup",
-                                "search_fullscale_cached_resident_speedup",
-                                "search_fullscale_speedup",
-                                "search_fullscale_candidates",
-                                "search_fullscale_config"],
+        _carry_forward(detail, _fullscale_keys,
                        "lean profile (MFAS_BENCH_FULL=0)")
     if _fullscale_on and _budget_left() <= 900:
-        _carry_forward(detail, ["search_fullscale_pop_cached_s",
-                                "search_fullscale_pop_cached_cold_s",
-                                "search_fullscale_pop_cached_resident_s",
-                                "search_fullscale_pop_s",
-                                "search_fullscale_seq_percand_s",
-                                "search_fullscale_seq_s",
-                                "search_fullscale_cached_speedup",
-                                "search_fullscale_cached_resident_speedup",
-                                "search_fullscale_speedup",
-                                "search_fullscale_candidates",
-                                "search_fullscale_config"],
+        _carry_forward(detail, _fullscale_keys,
                        f"budget: {_budget_left():.0f}s left")
     if _fullscale_on and _budget_left() > 900:
         full = dict(search_iterations=3, max_progression_levels=4,
@@ -1295,13 +1286,13 @@ def main():
               "bench_profile": "full" if FULL else "lean"}
     fast = os.environ.get("MFAS_BENCH_FAST") == "1"
 
-    # carry the dead-tunnel attempt log across runs (read BEFORE the first
-    # _emit rewrites the sidecar; same backend-suffixed file _emit writes)
-    try:
-        with open(_sidecar_path()) as f:
-            prev_attempts = json.load(f).get("tpu_unreachable_attempts")
-    except Exception:
-        prev_attempts = None
+    # snapshot the previous run's sidecar BEFORE the first _emit rewrites
+    # it: _carry_forward's lazy read would otherwise "carry" from this
+    # run's own partial record whenever no carry ran inside bench_proxy
+    # (MFAS_BENCH_FULL=1, or bench_proxy raising), permanently erasing the
+    # previous run's seq-measured/trend/fullscale history
+    prev = _load_prev_sidecar()
+    prev_attempts = prev.get("tpu_unreachable_attempts")
 
     try:
         speedup = bench_proxy(detail)

@@ -41,6 +41,19 @@ import threading
 BENIGN_CPU_AOT = re.compile(
     rb"cpu_aot_loader.*prefer-no-(gather|scatter)")
 
+# shutdown sentinel written to the pipe by __exit__: a child process that
+# inherited fd 2 and outlives the context holds the pipe's write end open,
+# so the pump can NOT rely on EOF — the sentinel line ends it regardless
+_EOF_SENTINEL = b"\x00__mfas_logfilter_eof__\x00"
+
+
+def run_filtered(main, *args, **kwargs):
+    """CLI ``__main__`` helper: run ``main(*args, **kwargs)`` with the
+    default benign-noise filter on fd 2 (one policy for every entry
+    point — see the CLIs' ``__main__`` blocks)."""
+    with filter_stderr_lines():
+        return main(*args, **kwargs)
+
 
 class filter_stderr_lines:
     """Context manager: drop fd-2 lines matching ``pattern`` (bytes regex,
@@ -75,7 +88,8 @@ class filter_stderr_lines:
         # interleaved C++ and Python writes, and a TextIOWrapper could
         # choke on partial UTF-8 at chunk boundaries
         buf = b""
-        while True:
+        done = False
+        while not done:
             try:
                 chunk = os.read(self._read_fd, 65536)
             except OSError:
@@ -85,6 +99,11 @@ class filter_stderr_lines:
             buf += chunk
             *lines, buf = buf.split(b"\n")
             for line in lines:
+                if line.endswith(_EOF_SENTINEL):  # __exit__'s shutdown
+                    done = True                   # signal; a writer's
+                    line = line[:-len(_EOF_SENTINEL)]  # partial line may
+                    if not line:                  # be glued to its front
+                        continue
                 self._emit(line + b"\n")
         if buf:                            # partial last line: never drop it
             self._emit(buf)
@@ -100,12 +119,25 @@ class filter_stderr_lines:
 
     def __exit__(self, *exc):
         sys.stderr.flush()
-        # re-pointing fd 2 closes the pipe's last writer (our own dup of the
-        # write end was closed in __enter__), so the pump thread sees EOF,
-        # drains what's buffered, and exits
+        # a shutdown sentinel BEFORE restoring fd 2: re-pointing fd 2 only
+        # EOFs the pipe when we are its last writer — a child spawned in
+        # the filtered region that inherited fd 2 and is still alive keeps
+        # the write end open, and the pump would block in os.read forever.
+        # The sentinel line ends it either way.
+        try:
+            os.write(2, _EOF_SENTINEL + b"\n")
+        except OSError:
+            pass
         os.dup2(self._orig_fd, 2)
         self._thread.join(timeout=10)
-        os.close(self._read_fd)
+        if self._thread.is_alive():
+            # pump still blocked (sentinel lost?): LEAK the read fd rather
+            # than close it under a live reader — a closed-then-recycled fd
+            # number would make the daemon thread steal bytes from whatever
+            # file reuses it
+            pass
+        else:
+            os.close(self._read_fd)
         if self.dropped and self._summary:
             try:
                 os.write(self._orig_fd,

@@ -89,6 +89,33 @@ def test_large_volume_interleaved(capfd):
     assert got == [k.decode().strip() for k in keep]   # order + content
 
 
+def test_exit_not_blocked_by_child_holding_fd2(capfd):
+    """A child spawned inside the region inherits the pipe as its fd 2 and
+    outlives the context — the pipe never EOFs, so exit must come from the
+    shutdown sentinel, not hang for the 10 s join timeout (and the
+    sentinel bytes must not leak into the forwarded output)."""
+    import subprocess
+    import time
+
+    t0 = time.perf_counter()
+    with filter_stderr_lines() as f:
+        child = subprocess.Popen([sys.executable, "-c",
+                                  "import time; time.sleep(30)"])
+        os.write(2, AOT_LINE)
+        os.write(2, b"kept line\n")
+    elapsed = time.perf_counter() - t0
+    try:
+        assert elapsed < 8, f"__exit__ stalled {elapsed:.1f}s (join timeout)"
+        assert f.dropped == 1
+        err = capfd.readouterr().err
+        assert "kept line" in err
+        assert "mfas_logfilter_eof" not in err       # sentinel never leaks
+        assert "filtered 1 known-benign" in err
+    finally:
+        child.kill()
+        child.wait()
+
+
 def test_missing_backbone_warning_memoized(capsys):
     """VERDICT r4 weak-3: dozens of searcher builds must warn once per
     missing path, not once per build."""

@@ -19,7 +19,7 @@ def test_profile_step_visual_fwd_tiny_cpu():
     run = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "profile_step.py"),
          "--what", "visual_fwd", "--batch", "2", "--img", "32"],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=1800)
     assert run.returncode == 0, run.stdout + run.stderr
     assert "ms/iter" in run.stdout
 
@@ -45,7 +45,7 @@ def test_parity_kit_synthetic_ready(tmp_path):
     run = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "parity_kit.py"),
          "--synthetic", str(tmp_path)],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=1800)
     assert run.returncode == 0, run.stdout + run.stderr
     assert "[READY] all preconditions pass" in run.stdout
     assert "--test_cp best_3_1_1_1_3_0_1_1_1_3_3_0_0.9134.checkpoint" \
@@ -67,7 +67,7 @@ def test_parity_kit_not_ready_reports_missing(tmp_path):
          "--resnet3d_layers", "1", "1", "1", "1",
          "--resnet3d_base_width", "16", "--num_outputs", "3",
          "--inner_representation_size", "8", "--no_batchnorm"],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=1800)
     assert run.returncode == 1, run.stdout + run.stderr
     assert "[FAIL]" in run.stdout
     assert "[missing]" in run.stdout

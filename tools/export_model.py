@@ -219,9 +219,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    # drop the known-benign cpu_aot_loader feature-dump ERROR lines
-    # (persistent-cache AOT loads; proof of benignity in
-    # mfas_tpu/runtime/logfilter.py) so interactive runs stay readable
-    from mfas_tpu.runtime.logfilter import filter_stderr_lines
-    with filter_stderr_lines():
-        main()
+    # benign-noise fd-2 filter for interactive runs (one shared policy —
+    # proof of benignity in mfas_tpu/runtime/logfilter.py)
+    from mfas_tpu.runtime.logfilter import run_filtered
+    run_filtered(main)

@@ -76,9 +76,24 @@ def check_dataset(datadir, vid_dim=256, vid_fr=30, out=print):
     if not avis:
         out(f"[FAIL] no .avi files under {rgb_dir}")
         return False, {}
+    # the SxxxCxxxPxxxRxxxAxxx scheme is what data/ntu.py parses subject/
+    # label from — a stray nonconforming file must be a [FAIL] diagnostic,
+    # not a ValueError traceback out of the precondition checker
+    def _subject(f):
+        try:
+            return int(f[9:12])
+        except ValueError:
+            return None
+    bad_names = [f for f in avis if _subject(f) is None]
+    if bad_names:
+        out(f"[FAIL] {len(bad_names)} .avi files don't follow the "
+            f"SxxxCxxxPxxxRxxxAxxx naming the loader parses (first: "
+            f"{bad_names[0]!r}) — remove or rename them")
+        ok = False
+        avis = [f for f in avis if _subject(f) is not None]
     counts = {}
     for stage, subjects in SPLITS.items():
-        n = sum(1 for f in avis if int(f[9:12]) in subjects)
+        n = sum(1 for f in avis if _subject(f) in subjects)
         counts[stage] = n
         if n == 0:
             out(f"[FAIL] split '{stage}' has 0 clips (subjects {subjects} "
