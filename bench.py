@@ -735,8 +735,12 @@ def bench_search_wallclock(detail, tmp_root):
 
     one_candidate()                      # cold (compiles train+eval)
 
+    # 5 pairs on TPU: the median then survives TWO drift-poisoned pairs
+    # (observed 2026-08-19: one pop run of nine stalled 345 s mid-tunnel,
+    # putting a 1.97x ratio in its pair — with 3 pairs a second stall
+    # would have made that the median). ~4 min extra, well inside budget.
     pairs = []                           # (t_pop, t_cand) timed back-to-back
-    for _ in range(3 if on_tpu else 2):
+    for _ in range(5 if on_tpu else 2):
         pairs.append((run_search()[0], one_candidate()))
     wall_pop = min(tp for tp, _ in pairs)
     t_cand = min(tc for _, tc in pairs)
