@@ -143,12 +143,29 @@ class _Unpickler(pickle.Unpickler):
             return super().find_class(module, name)
         if module.startswith("torch"):
             return lambda *a, **k: None  # inert stub for exotic symbols
-        return super().find_class(module, name)
+        # anything else is REFUSED: checkpoints are untrusted third-party
+        # files (the published MFAS backbones), and the default pickle
+        # find_class would import and execute arbitrary module globals
+        # (e.g. os.system) during load
+        raise pickle.UnpicklingError(
+            f"checkpoint references disallowed global {module}.{name} — "
+            "only torch tensor/storage rebuilds, collections, numpy array "
+            "reconstructors, and builtins are allowed")
 
     def persistent_load(self, pid):
         if pid[0] != "storage":
             raise ValueError(f"unknown persistent id {pid[0]!r}")
         storage_type, key, _location, numel = pid[1], pid[2], pid[3], pid[4]
+        if len(pid) > 5 and pid[5]:
+            # legacy (torch<1.6) storage VIEWS: pid[5] = (view_key, offset,
+            # numel) means the tensor's storage is a slice of the root and
+            # its storage_offset is relative to that slice — rebuilding
+            # against the root would silently shift every value. None in
+            # every checkpoint this framework targets (state_dicts of
+            # independent parameters); refuse loudly rather than corrupt.
+            raise NotImplementedError(
+                "legacy checkpoint uses storage views (view_metadata="
+                f"{pid[5]!r}); re-save it with a modern torch to flatten")
         return self._loader(storage_type, str(key), int(numel))
 
 
@@ -275,10 +292,12 @@ class _WriterPickler(pickle._Pickler):
         return None
 
 
-def _wrap_tensors(obj, counter, store):
+def _wrap_tensors(obj, counter, store, memo=None):
     # numpy SCALARS first: they carry .dtype/.shape, so the tensor branch
     # below would otherwise serialize them as 0-d tensors that torch.load
     # yields back as tensor(3) where callers expect a python int
+    if memo is None:
+        memo = {}
     if isinstance(obj, (np.integer,)):
         return int(obj)
     if isinstance(obj, (np.floating,)):
@@ -287,6 +306,12 @@ def _wrap_tensors(obj, counter, store):
         return bool(obj)
     if isinstance(obj, np.ndarray) or (hasattr(obj, "dtype")
                                        and hasattr(obj, "shape")):
+        # dedup by object identity, like torch.save's storage memo: tied
+        # weights (two tree paths referencing one array) share one storage
+        # key, so the tie survives a round-trip and the bytes are written
+        # once. (The caller's tree keeps obj alive, so ids stay unique.)
+        if id(obj) in memo:
+            return memo[id(obj)]
         arr = np.asarray(obj)
         if arr.ndim == 0 and arr.dtype == np.dtype("int32"):
             arr = arr.astype(np.int64)  # torch counters are int64
@@ -295,12 +320,14 @@ def _wrap_tensors(obj, counter, store):
         key = str(counter[0])
         counter[0] += 1
         store[key] = arr
-        return _WTensor(arr, key)
+        memo[id(obj)] = wt = _WTensor(arr, key)
+        return wt
     if isinstance(obj, dict):
-        return type(obj)((k, _wrap_tensors(v, counter, store))
+        return type(obj)((k, _wrap_tensors(v, counter, store, memo))
                          for k, v in obj.items())
     if isinstance(obj, (list, tuple)):
-        return type(obj)(_wrap_tensors(v, counter, store) for v in obj)
+        return type(obj)(_wrap_tensors(v, counter, store, memo)
+                         for v in obj)
     return obj
 
 

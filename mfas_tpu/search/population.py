@@ -157,6 +157,19 @@ def _quantize_rows(x):
     return q, scale
 
 
+def _bank_value(got, k):
+    """Dequantize one gathered bank column (the single definition of the
+    int8-bank contract, used by the fused-epoch and per-batch paths): int8
+    banks carry a per-row ``"<k>_scale"`` float32 factor from
+    ``_quantize_rows``; dequant fuses into the consumer right after the
+    gather, so only int8 rows ever move out of the bank — 4x less gather
+    traffic than f32, and 4x less ICI for a sharded bank. f32/bf16 banks
+    have no scale entry and pass through as float32."""
+    x = got[k].astype(jnp.float32)
+    s = got.get(k + "_scale")
+    return x * s if s is not None else x
+
+
 # --------------------------------------------------------------------------
 # weight sharing across search steps (reference ntu_searchable.py:123-175)
 # --------------------------------------------------------------------------
@@ -460,17 +473,8 @@ class _PopulationPrograms:
 
     def _gathered_batch(self, bank, take_s):
         got = jax.tree_util.tree_map(lambda a: a[take_s], bank)
-
-        def val(k):
-            # int8 banks carry a per-row "<k>_scale" factor (dequant is
-            # fused into the epoch program right after the gather, so only
-            # int8 rows ever move out of the bank — 4x less gather traffic
-            # than f32, and 4x less ICI for a sharded bank)
-            x = got[k].astype(jnp.float32)
-            s = got.get(k + "_scale")
-            return x * s if s is not None else x
-
-        fa, fb, lb, la = val("fa"), val("fb"), val("lb"), val("la")
+        fa, fb, lb, la = (_bank_value(got, k)
+                          for k in ("fa", "fb", "lb", "la"))
         return tuple(self._constrain_data(t)
                      for t in (fa, fb, lb, la, got["label"]))
 
@@ -630,7 +634,9 @@ class PopulationTrainer:
         self.fused_epochs = bool(fused_epochs)
         self._dev_bank = None
         self._dev_bank_key = None
-        # same ceiling as _dev_batches' max_cache_samples
+        # the ONE dev-cache ceiling: _dev_batches' max_cache_samples
+        # defaults to this same attribute, so the fused-path gate and the
+        # streaming cache can never disagree on it
         self.MAX_DEV_BANK = 50000
 
     # ----- sharding helpers
@@ -787,9 +793,11 @@ class PopulationTrainer:
             yield from extract(buf)
 
     def _dev_batches(self, loader, input_keys, label_key,
-                     cache=True, max_cache_samples=50000):
+                     cache=True, max_cache_samples=None):
         """Yield (fa, fb, lb, la, label, wmask) for the dev split, cached
         on device after the first pass."""
+        if max_cache_samples is None:
+            max_cache_samples = self.MAX_DEV_BANK
         key = self._loader_token(loader)
         if key is None:
             cache = False
@@ -872,13 +880,8 @@ class PopulationTrainer:
         takes, wmasks = self._epoch_index_plan(n, batch_size, shuffle_rs)
         for take, wmask in zip(takes, wmasks):
             got = self._bank_gather(bank, jnp.asarray(take, jnp.int32))
-
-            def val(k):
-                x = got[k].astype(jnp.float32)
-                s = got.get(k + "_scale")   # int8 banks (see _quantize_rows)
-                return x * s if s is not None else x
-
-            fa, fb, lb, la = val("fa"), val("fb"), val("lb"), val("la")
+            fa, fb, lb, la = (_bank_value(got, k)
+                              for k in ("fa", "fb", "lb", "la"))
             yield (self._shard_data(fa), self._shard_data(fb),
                    self._shard_data(lb), self._shard_data(la),
                    self._shard_data(got["label"]),
@@ -988,6 +991,11 @@ class PopulationTrainer:
                         loss_c, corr_c = self._eval_step(
                             params, bn_state, conf, fa, fb, lb, la, label, wmask)
                         correct_terms.append(corr_c)
+                if not correct_terms:
+                    raise ValueError(
+                        f"'{phase}' loader yielded no batches (dataset_size"
+                        f"={dataset_sizes.get(phase)}) — population "
+                        "training needs at least one batch per split")
                 corrects = np.sum(np.stack([np.asarray(c) for c in
                                             correct_terms]), axis=0)
 

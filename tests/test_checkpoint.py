@@ -81,6 +81,70 @@ def test_write_read_roundtrip_no_torch(tmp_path):
         np.testing.assert_array_equal(back[k], tree[k])
 
 
+def test_load_refuses_arbitrary_globals(tmp_path):
+    """Checkpoints are untrusted third-party files: a pickle referencing a
+    non-allowlisted global (the os.system RCE shape) must be REFUSED, not
+    resolved through the default find_class."""
+    import pickle
+    import zipfile
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("echo pwned > " +
+                                str(tmp_path / "pwned"),))
+
+    path = tmp_path / "evil.checkpoint"
+    with zipfile.ZipFile(path, "w") as z:   # minimal modern container
+        z.writestr("archive/data.pkl", pickle.dumps({"x": Evil()}))
+        z.writestr("archive/version", "3")
+    with pytest.raises(Exception) as ei:
+        ckpt.load(str(path))
+    assert "disallowed global" in str(ei.value)
+    assert not (tmp_path / "pwned").exists()   # nothing executed
+
+
+def test_legacy_storage_views_refused():
+    """torch<1.6 storage-VIEW persistent ids (6th pid element) would load
+    against the root storage with view-relative offsets — silently wrong
+    values. The reader must refuse them loudly."""
+    import io
+
+    from mfas_tpu.runtime.checkpoint import _StorageType, _Unpickler
+
+    up = _Unpickler(io.BytesIO(b""), loader=lambda *a: None)
+    # view_metadata=None (the only case this framework targets) loads fine
+    assert up.persistent_load(
+        ("storage", _StorageType("FloatStorage"), "0", "cpu", 4,
+         None)) is None
+    with pytest.raises(NotImplementedError, match="storage views"):
+        up.persistent_load(
+            ("storage", _StorageType("FloatStorage"), "0", "cpu", 4,
+             ("view_key", 2, 2)))
+
+
+def test_save_dedups_tied_weights(tmp_path):
+    """Two tree paths referencing the SAME array (tied weights) must share
+    one storage on disk, so the tie survives a round-trip (torch.save's
+    storage-memo semantics) and the bytes are written once."""
+    import zipfile
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    tree = {"emb.weight": w, "head.weight": w,
+            "other": np.ones((2, 3), np.float32)}
+    path = tmp_path / "tied.checkpoint"
+    ckpt.save(tree, str(path))
+    back = ckpt.load(str(path))
+    np.testing.assert_array_equal(back["emb.weight"], w)
+    np.testing.assert_array_equal(back["head.weight"], w)
+    # the tie is structural, not just equal values: one shared storage
+    assert np.shares_memory(back["emb.weight"], back["head.weight"])
+    assert not np.shares_memory(back["emb.weight"], back["other"])
+    with zipfile.ZipFile(path) as z:
+        data_records = [n for n in z.namelist() if "/data/" in n]
+    assert len(data_records) == 2, data_records   # w once + other once
+
+
 def test_backbone_tree_injection_against_torch_reference(tmp_path):
     """A torch GP_LeNet-shaped state_dict loads into our GP_LeNet tree and
     the forward agrees (torch as behavior oracle)."""
