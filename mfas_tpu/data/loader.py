@@ -22,7 +22,20 @@ import threading
 import numpy as np
 
 
-class ArrayLoader:
+class ResumableRng:
+    """Shuffle/seed-stream RNG checkpointing, shared by every loader: a
+    crash-resumed search must replay the uncrashed run's batch orders and
+    per-sample transform seeds, so the loaders' RNG position is part of
+    the search state (searcher._save_state)."""
+
+    def rng_state(self):
+        return self._rng.get_state()
+
+    def set_rng_state(self, state):
+        self._rng.set_state(state)
+
+
+class ArrayLoader(ResumableRng):
     """Batches over parallel in-memory arrays.
 
     arrays: dict name -> np.ndarray with equal leading dim.
@@ -148,7 +161,7 @@ def prefetch_to_device(iterator, size=2, sharding=None, place=None):
             pass
 
 
-class MapLoader:
+class MapLoader(ResumableRng):
     """Indexable-dataset loader with threaded prefetch.
 
     dataset: object with __len__ and __getitem__(i) -> dict of np arrays.

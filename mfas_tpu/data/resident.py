@@ -46,6 +46,7 @@ import os
 import numpy as np
 
 from mfas_tpu.data import ntu as ntu_data
+from mfas_tpu.data.loader import ResumableRng
 
 
 def _unwrap(transform):
@@ -122,14 +123,15 @@ class ResidentNTUStore:
             self.meta = json.load(f)
         self.modality = (getattr(args, "modality", "both")
                          if args is not None else "both")
-        self.no_norm = (getattr(args, "no_norm", False)
-                        if args is not None else False)
         rgb = np.load(os.path.join(packed_dir, "rgb.npy"), mmap_mode="r")
         ske = np.load(os.path.join(packed_dir, "ske.npy"), mmap_mode="r")
         self.ske_len = np.load(os.path.join(packed_dir, "ske_len.npy"))
         self.labels = np.load(os.path.join(packed_dir, "labels.npy"))
         self.n = len(self.labels)
         self.n_frames = int(self.meta["frames"])
+        # recorded so make_resident_prep(store=...) can enforce its
+        # "fuse_gather needs an unsharded store" precondition
+        self.sharded = bool(shard and mesh is not None)
 
         def place(x):
             x = np.asarray(x)
@@ -159,7 +161,7 @@ class ResidentNTUStore:
         return self.n
 
 
-class ResidentLoader:
+class ResidentLoader(ResumableRng):
     """Loader twin of MapLoader over a ResidentNTUStore: same shuffle RNG,
     same per-sample transform seed draws (np.random.RandomState(seed)
     shuffles, then one randint(0, 2**31-1) seed per sample in dataset
@@ -229,7 +231,7 @@ class ResidentLoader:
 
 
 def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
-                       fuse_gather=None):
+                       fuse_gather=None, store=None):
     """Engine batch_prep: in-graph store gather + temporal resample +
     normalize. Composes with the engine's jitted step, so the whole input
     path is one XLA program reading the batch out of HBM.
@@ -252,8 +254,11 @@ def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
     where XLA's gather lowering regresses; fuse_gather also requires an
     UNSHARDED store (the kernel is single-device — under
     --shard_resident_store the XLA gather lowers to the masked
-    local-gather + all-reduce collective) and falls back automatically
-    when the store's frame shape doesn't fit the kernel tiling."""
+    local-gather + all-reduce collective) and falls back automatically to
+    the XLA gather when the store's frame shape doesn't fit the kernel
+    tiling, when the store array is detectably sharded, or when
+    ``store=`` (pass the ResidentNTUStore — inside a jitted step the
+    array is a tracer with no visible sharding) says shard=True."""
     import jax  # noqa: F401  (kept: callers toggle backends in-process)
     import jax.numpy as jnp
 
@@ -266,7 +271,22 @@ def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
         use_pallas = False
     if fuse_gather is None:
         fuse_gather = False
+    if fuse_gather and store is not None and getattr(store, "sharded",
+                                                     False):
+        import warnings
+        warnings.warn("fuse_gather=True needs an unsharded store (the "
+                      "Pallas kernel is single-device) — falling back to "
+                      "the XLA gather for this sharded store")
+        fuse_gather = False
     out_dt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+
+    def _replicated(x):
+        # eager arrays expose .sharding; inside a jitted step x is a
+        # tracer and the probe passes (the store= gate above covers that)
+        try:
+            return x.sharding.is_fully_replicated
+        except Exception:  # noqa: BLE001
+            return True
 
     def prep(batch):
         batch = dict(batch)
@@ -275,7 +295,8 @@ def make_resident_prep(no_norm=False, use_pallas=None, compute_dtype=None,
         ske_store = batch.pop("_ske_store", None)
         if rgb_store is not None:
             rgb_t = batch.pop("rgb_t")
-            if fuse_gather and gather_normalize_supported(rgb_store.shape):
+            if (fuse_gather and gather_normalize_supported(rgb_store.shape)
+                    and _replicated(rgb_store)):
                 batch["rgb"] = u8_gather_normalize(
                     rgb_store, idx, rgb_t, IMAGENET_MEAN, IMAGENET_STD,
                     out_dtype=out_dt)

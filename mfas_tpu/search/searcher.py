@@ -45,7 +45,7 @@ class ModelSearcher:
     # ----- checkpointing (additive, SURVEY §5.3)
     def _save_state(self, path, s_data, temperature, si, progression_index,
                     sampled_k_confs, surrogate, shared_weights=None,
-                    trainer=None):
+                    trainer=None, dataloaders=None):
         # multi-host: search state is identical on every process (same
         # seeded trajectory) — one writer, no interleaved corruption
         if not path or not _primary_process():
@@ -63,12 +63,20 @@ class ModelSearcher:
             "surrogate_params": _tree_to_numpy(
                 getattr(surrogate, "params", None)),
             # a resumed run must replay the uncrashed trajectory exactly:
-            # the weight-sharing store, the surrogate's Adam moments, and
-            # the candidate-init seed counter are all part of that state
-            "shared_weights": shared_weights,
+            # the weight-sharing store, the surrogate's Adam moments, the
+            # candidate-init seed counter, AND the dataloaders' shuffle/
+            # transform-seed RNG position (each completed epoch advanced
+            # it) are all part of that state. shared_weights leaves go
+            # through numpy: pickling live jax.Arrays both blocks on a
+            # D2H fetch per leaf per save and breaks outright for any
+            # non-fully-replicated sharding.
+            "shared_weights": _tree_to_numpy(shared_weights),
             "surrogate_opt_state": _tree_to_numpy(
                 getattr(surrogate, "opt_state", None)),
             "trainer_seed": getattr(trainer, "_seed", None),
+            "loader_rng_states": (
+                {name: ld.rng_state() for name, ld in dataloaders.items()
+                 if hasattr(ld, "rng_state")} if dataloaders else None),
         }
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -79,6 +87,37 @@ class ModelSearcher:
     def load_state(path):
         with open(path, "rb") as f:
             return pickle.load(f)
+
+    @staticmethod
+    def _restore_loader_rng(st, dataloaders):
+        if not dataloaders:
+            return
+        for name, s in (st.get("loader_rng_states") or {}).items():
+            ld = dataloaders.get(name)
+            if ld is not None and hasattr(ld, "set_rng_state"):
+                ld.set_rng_state(s)
+
+    @staticmethod
+    def _check_multihost_resume_agreement(resume_after):
+        """Every process must resolve the SAME resume point: the state file
+        lives on host-local disk, so a host missing it would silently
+        restart from scratch while the others skip completed steps — the
+        processes then issue different collective sequences and the job
+        deadlocks (or computes garbage under weight sharing)."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+        mine = np.asarray(resume_after, np.int64).ravel()
+        lead = np.asarray(
+            multihost_utils.broadcast_one_to_all(mine)).ravel()
+        if not np.array_equal(mine, lead):
+            raise RuntimeError(
+                f"--resume_search disagreement: process "
+                f"{jax.process_index()} resolved resume point "
+                f"{mine.tolist()} but process 0 resolved {lead.tolist()} — "
+                "the --search_state file must be visible to every host "
+                "(shared filesystem, or copy it to each host's path)")
 
     def _epnas(self, model_type, surrogate_dict, dataloaders,
                dataset_searchmethods, device=None):
@@ -115,10 +154,13 @@ class ModelSearcher:
             if (st.get("trainer_seed") is not None
                     and hasattr(train_sampled_models, "_seed")):
                 train_sampled_models._seed = st["trainer_seed"]
+            self._restore_loader_rng(st, dataloaders)
             resume_after = (st["si"], st["progression_index"])
             if self.args.verbose:
                 print("Resuming search after iteration {} step {}".format(
                     *resume_after))
+        if getattr(self.args, "resume_search", False):
+            self._check_multihost_resume_agreement(resume_after)
 
         for si in range(self.args.search_iterations):
             if self.args.verbose:
@@ -199,7 +241,8 @@ class ModelSearcher:
                 self._save_state(state_path, s_data, temperature, si,
                                  progression_index, sampled_k_confs, surrogate,
                                  shared_weights=shared_weights,
-                                 trainer=train_sampled_models)
+                                 trainer=train_sampled_models,
+                                 dataloaders=dataloaders)
 
         return s_data
 
@@ -228,9 +271,12 @@ class ModelSearcher:
             if (st.get("trainer_seed") is not None
                     and hasattr(train_sampled_models, "_seed")):
                 train_sampled_models._seed = st["trainer_seed"]
+            self._restore_loader_rng(st, dataloaders)
             if self.args.verbose:
                 print(f"Resuming random search after iteration "
                       f"{resume_after}")
+        if getattr(self.args, "resume_search", False):
+            self._check_multihost_resume_agreement((resume_after,))
 
         total = self.args.search_iterations * self.args.max_progression_levels
         for si in range(total):
@@ -256,7 +302,8 @@ class ModelSearcher:
                             surrogate_size=len(s_data))
             self._save_state(state_path, s_data, 0.0, si, -1, sampled_k_confs,
                              surrogate=None, shared_weights=shared_weights,
-                             trainer=train_sampled_models)
+                             trainer=train_sampled_models,
+                             dataloaders=dataloaders)
         return s_data
 
 

@@ -73,6 +73,54 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
     assert _as_pairs(resumed_data) == _as_pairs(full_data)
 
 
+def test_resume_replays_loader_shuffle_stream(tmp_path):
+    """The dataloaders' shuffle RNG advances once per training call; a
+    resumed run rebuilds the loaders at their construction seed, so the
+    saved state must carry the RNG position — otherwise every step after
+    the resume point sees epoch-0 batch orders and the trajectory
+    silently diverges from the uncrashed run."""
+    from mfas_tpu.data.loader import ArrayLoader
+
+    def make_loaders():
+        data = {"x": np.arange(32, dtype=np.float32)[:, None],
+                "label": np.arange(32, dtype=np.int64)}
+        return {"train": ArrayLoader(data, 8, shuffle=True, seed=7)}
+
+    def order_sensitive_train_fn(confs, model_type, dataloaders, a, device,
+                                 state_dict=None):
+        # one epoch per call, like a real trainer: the accuracy of every
+        # conf depends on the batch order the loader's RNG produced NOW
+        first = [int(b["label"][0]) for b in dataloaders["train"]]
+        bias = sum((i + 1) * v for i, v in enumerate(first)) % 97 / 97.0
+        return [0.5 * scripted_acc(c) + 0.5 * bias for c in confs]
+
+    class LoaderSearcher(Searcher):
+        def __init__(self, args, loaders):
+            super().__init__(args)
+            self._loaders = loaders
+
+        def search(self):
+            return self._epnas(
+                None, {"model": _NullSurrogate()}, self._loaders,
+                {"train_sampled_fun": order_sensitive_train_fn,
+                 "get_layer_confs": get_layer_confs})
+
+    full_path = str(tmp_path / "full.pkl")
+    np.random.seed(42)
+    full = LoaderSearcher(make_args(full_path), make_loaders())
+    full_data = full.search()
+
+    resume_path = str(tmp_path / "resume.pkl")
+    shutil.copy(full.saved_steps[0], resume_path)
+    np.random.seed(7)
+    # fresh process: loaders rebuilt at their construction seed — the
+    # restored RNG position must land them where the crash left off
+    resumed = LoaderSearcher(make_args(resume_path, resume=True),
+                             make_loaders())
+    resumed_data = resumed.search()
+    assert _as_pairs(resumed_data) == _as_pairs(full_data)
+
+
 def test_resume_flag_off_restarts(tmp_path):
     path = str(tmp_path / "s.pkl")
     np.random.seed(0)
