@@ -213,8 +213,6 @@ class ClassifierEngine:
         is checkpointed per epoch and ``resume=True`` continues a long run
         (additive over the reference, SURVEY §5.4; the dropout RNG stream
         restarts at the resumed epoch)."""
-        import os
-
         trainable, frozen = split_tree(self.model, tree, trainable_prefixes)
         if self.mesh is not None:
             trainable = pm.replicate_tree(trainable, self.mesh)
@@ -229,7 +227,13 @@ class ClassifierEngine:
         best_tree = self._snapshot(merge(trainable, frozen))
         start_epoch = 0
 
-        if resume and state_path and os.path.exists(state_path):
+        found_state = bool(state_path and os.path.exists(state_path))
+        if resume:
+            # multi-host: a host-local state file visible on only some
+            # hosts would desynchronize epoch counts -> collective deadlock
+            from mfas_tpu.parallel.mesh import require_resume_agreement
+            require_resume_agreement((int(found_state),))
+        if resume and found_state:
             from mfas_tpu.runtime.train_state import load_train_state
             st = load_train_state(state_path,
                                   tree_template=merge(trainable, frozen),
@@ -248,6 +252,10 @@ class ClassifierEngine:
                 frozen = pm.replicate_tree(frozen, self.mesh)
                 opt_state = pm.replicate_tree(opt_state, self.mesh)
                 best_tree = pm.replicate_tree(best_tree, self.mesh)
+            # both found the file AND loaded the same epoch (stale copies
+            # on some hosts would diverge just as silently)
+            from mfas_tpu.parallel.mesh import require_resume_agreement
+            require_resume_agreement((int(st["epoch"]),))
             start_epoch = st["epoch"] + 1
             rng = Rng(seed + start_epoch)
             if verbose or print_loss:

@@ -95,6 +95,26 @@ def require_shared_seed(args):
                   "every process samples the identical trajectory")
 
 
+def require_resume_agreement(resume_point):
+    """Every process of a multi-host run must resolve the SAME resume
+    point: state files are single-writer (is_primary_process) and often
+    host-local, so a host missing the file would silently start from
+    scratch while the others skip completed work — the processes then
+    issue different collective sequences and the mesh deadlocks (or
+    trains on divergent schedules). No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    mine = np.asarray(resume_point, np.int64).ravel()
+    lead = np.asarray(multihost_utils.broadcast_one_to_all(mine)).ravel()
+    if not np.array_equal(mine, lead):
+        raise RuntimeError(
+            f"resume disagreement: process {jax.process_index()} resolved "
+            f"resume point {mine.tolist()} but process 0 resolved "
+            f"{lead.tolist()} — the state file must be visible to every "
+            "host (shared filesystem, or copy it to each host's path)")
+
+
 def is_primary_process():
     """True on the one process that should WRITE shared-filesystem
     artifacts (checkpoints, search/train state, jsonl telemetry). Params

@@ -109,18 +109,28 @@ def device_init_hangs(timeout_s=None, verdict_ttl_s=600):
         timeout_s = float(os.environ.get("MFAS_DEVICE_PROBE_TIMEOUT", 30))
     import sys
     jx = sys.modules.get("jax")
+    probe_unsafe = False
     if jx is not None:
+        live = None   # None = can't tell (private API moved/renamed)
         try:
             from jax._src import xla_bridge
-            if xla_bridge._backends:
-                return False       # live backend: init already completed
+            live = bool(xla_bridge._backends)
         except Exception:
-            pass
+            live = None
+        if live:
+            return False       # live backend: init already completed
         try:
             if str(jx.config.jax_platforms or "").startswith("cpu"):
                 return False
         except Exception:
             pass
+        # live-backend signal unavailable (private API moved): a
+        # subprocess probe against a chip THIS process may already hold
+        # is the exact double-claim collision this guard exists to
+        # prevent — suppress the probe (the relay-dead fast-fail below
+        # still catches the clearly-dead case; a truly dead tunnel then
+        # fails in-process with jax's own error, not a wedged claim)
+        probe_unsafe = live is None
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return False
     if tunnel_relay_dead():
@@ -128,6 +138,8 @@ def device_init_hangs(timeout_s=None, verdict_ttl_s=600):
     cached = _read_cached_verdict(verdict_ttl_s)
     if cached is not None:
         return cached
+    if probe_unsafe:
+        return False
     import subprocess
     try:
         proc = subprocess.run(

@@ -51,7 +51,13 @@ def save_train_state(path, *, tree, best_tree, opt_state, scheduler, epoch,
     flat.update(_flat(best_tree, "best"))
     flat.update(_flat(opt_state["m"], "opt/m"))
     flat.update(_flat(opt_state["v"], "opt/v"))
-    flat["opt/step"] = np.asarray(opt_state["step"])
+    if isinstance(opt_state["step"], dict):
+        # adam_init(per_leaf_step=True): step is a tree mirroring the
+        # trainable params (torch's per-param state['step']); flatten it
+        # like m/v so per-leaf bias corrections survive the round-trip
+        flat.update(_flat(opt_state["step"], "opt/step"))
+    else:
+        flat["opt/step"] = np.asarray(opt_state["step"])
     meta = {"epoch": int(epoch), "best_acc": float(best_acc),
             "scheduler": scheduler.state_dict()}
     flat["meta"] = np.frombuffer(json.dumps(meta).encode(), np.uint8).copy()
@@ -68,7 +74,12 @@ def load_train_state(path, *, tree_template, trainable_template, scheduler):
     opt_state = {
         "m": _unflat(flat, "opt/m", trainable_template),
         "v": _unflat(flat, "opt/v", trainable_template),
-        "step": jnp.asarray(flat["opt/step"]),
+        # scalar step states carry one "opt/step" entry; per-leaf states
+        # (adam_init per_leaf_step=True) were flattened like m/v —
+        # adam_update dispatches on the restored structure, so each
+        # checkpoint keeps its original stepping semantics
+        "step": (jnp.asarray(flat["opt/step"]) if "opt/step" in flat
+                 else _unflat(flat, "opt/step", trainable_template)),
     }
     return {"tree": tree, "best_tree": best_tree, "opt_state": opt_state,
             "epoch": meta["epoch"], "best_acc": meta["best_acc"]}

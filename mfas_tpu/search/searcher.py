@@ -99,25 +99,8 @@ class ModelSearcher:
 
     @staticmethod
     def _check_multihost_resume_agreement(resume_after):
-        """Every process must resolve the SAME resume point: the state file
-        lives on host-local disk, so a host missing it would silently
-        restart from scratch while the others skip completed steps — the
-        processes then issue different collective sequences and the job
-        deadlocks (or computes garbage under weight sharing)."""
-        import jax
-        if jax.process_count() == 1:
-            return
-        from jax.experimental import multihost_utils
-        mine = np.asarray(resume_after, np.int64).ravel()
-        lead = np.asarray(
-            multihost_utils.broadcast_one_to_all(mine)).ravel()
-        if not np.array_equal(mine, lead):
-            raise RuntimeError(
-                f"--resume_search disagreement: process "
-                f"{jax.process_index()} resolved resume point "
-                f"{mine.tolist()} but process 0 resolved {lead.tolist()} — "
-                "the --search_state file must be visible to every host "
-                "(shared filesystem, or copy it to each host's path)")
+        from mfas_tpu.parallel.mesh import require_resume_agreement
+        require_resume_agreement(resume_after)
 
     def _epnas(self, model_type, surrogate_dict, dataloaders,
                dataset_searchmethods, device=None):

@@ -249,6 +249,12 @@ class SurrogateDataloader:
                 confs.append(conf)
                 accs.append(acc)
         accs = np.array(accs)
+        if k <= 0 or accs.size == 0:
+            # np.argpartition(accs, -0)[-0:] would return EVERYTHING for
+            # k=0 (and raise on an empty store) — callers clamp k with
+            # min(k, len(store)), which is exactly 0 on a fresh state
+            return [], [], np.array([], np.int64)
+        k = min(k, accs.size)
         top = np.argpartition(accs, -k)[-k:]
         return [confs[i] for i in top], [accs[i] for i in top], top
 

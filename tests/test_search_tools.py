@@ -84,6 +84,23 @@ def test_surrogate_dataloader_dedup_keeps_max():
         np.testing.assert_array_equal(x, y)
 
 
+def test_get_k_best_zero_and_empty_store():
+    """k=0 must return NOTHING (argpartition's [-0:] slice returned
+    everything) and an empty store must not crash — callers clamp with
+    min(k, len(store)), which is exactly 0 on a fresh search state
+    (e.g. tools/search_report.py on a zero-iteration state)."""
+    d = SurrogateDataloader()
+    confs, accs, idx = d.get_k_best(0)          # empty store, k=0
+    assert confs == [] and accs == [] and len(idx) == 0
+    confs, accs, idx = d.get_k_best(5)          # empty store, k>0
+    assert confs == [] and accs == [] and len(idx) == 0
+    d.add_datum(np.array([[1, 2, 0]]), 0.4)
+    confs, accs, idx = d.get_k_best(0)          # k=0, nonempty store
+    assert confs == [] and accs == []
+    confs, accs, idx = d.get_k_best(10)         # k > store size: clamp
+    assert len(confs) == 1 and np.isclose(accs[0], 0.4)
+
+
 def test_surrogate_learns_ranking():
     surr = SimpleRecurrentSurrogate(16, 3, 16, seed=0)
     d = SurrogateDataloader()

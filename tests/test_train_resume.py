@@ -96,6 +96,43 @@ def test_resume_under_mesh_matches_unmeshed(tmp_path):
                                    rtol=2e-2, atol=5e-4, err_msg=k)
 
 
+def test_per_leaf_adam_step_state_roundtrips(tmp_path):
+    """adam_init(per_leaf_step=True) (CifarEngine / skip_disconnected
+    engines) keeps one step count per leaf; save/load must preserve that
+    TREE — flattening it to a scalar would silently demote torch's
+    per-param bias corrections on resume (and the old writer crashed on
+    the object-dtype array outright)."""
+    import jax.numpy as jnp
+
+    from mfas_tpu.core.optim import adam_init
+    from mfas_tpu.runtime.train_state import (load_train_state,
+                                              save_train_state)
+
+    net, tree, loaders, sizes = _setup()
+    trainable = {k: v for k, v in tree.items()}
+    opt = adam_init(trainable, per_leaf_step=True)
+    # advance two leaves' steps unevenly, like transient disconnection
+    flat_steps = flatten_tree(opt["step"])
+    keys = [k for k, v in flat_steps.items() if v is not None]
+    from mfas_tpu.core.module import tree_set
+    opt["step"] = tree_set(opt["step"], keys[0], jnp.asarray(3, jnp.int32))
+    opt["step"] = tree_set(opt["step"], keys[1], jnp.asarray(7, jnp.int32))
+
+    path = str(tmp_path / "ts.checkpoint")
+    save_train_state(path, tree=tree, best_tree=tree, opt_state=opt,
+                     scheduler=_sched(sizes), epoch=1, best_acc=0.5)
+    st = load_train_state(path, tree_template=tree,
+                          trainable_template=trainable,
+                          scheduler=_sched(sizes))
+    back = st["opt_state"]["step"]
+    assert isinstance(back, dict), type(back)   # per-leaf tree preserved
+    back_flat = flatten_tree(back)
+    assert int(back_flat[keys[0]]) == 3
+    assert int(back_flat[keys[1]]) == 7
+    assert all(int(v) == 0 for k, v in back_flat.items()
+               if v is not None and k not in (keys[0], keys[1]))
+
+
 def test_donate_keeps_best_snapshot_alive():
     """donate=True invalidates the previous step's trainable buffers; the
     best-dev snapshot must own copies (ClassifierEngine._snapshot)."""
