@@ -207,8 +207,15 @@ def train_model(model, tree, configuration, dataloaders, args, mesh=None):
             compute_dtype="bfloat16" if getattr(args, 'bf16', False)
             else None)
     elif getattr(args, 'device_input_normalize', False):
-        from mfas_tpu.data.ntu_pack import make_device_normalize_prep
-        batch_prep = make_device_normalize_prep()
+        if getattr(args, 'packed_datadir', ''):
+            from mfas_tpu.data.ntu_pack import make_device_normalize_prep
+            batch_prep = make_device_normalize_prep()
+        else:
+            # the raw-AVI loader already normalized on the host — running
+            # the u8 affine again would silently double-normalize
+            print('WARNING: --device_input_normalize needs '
+                  '--packed_datadir (tools/pack_ntu) — ignored; this run '
+                  'normalizes on the host')
     engine = ClassifierEngine(
         model, multitask=args.multitask, input_keys=("rgb", "ske"), mesh=mesh,
         remat=getattr(args, 'remat', False),

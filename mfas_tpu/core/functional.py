@@ -232,9 +232,9 @@ def max_pool2d(x, kernel_size, stride=None, padding=0):
     k = _pair(kernel_size)
     s = _pair(stride) if stride is not None else k
     p = _pair(padding)
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
     if POOL_AS_SLICES and k[0] * k[1] <= 9:
-        neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-               else jnp.iinfo(x.dtype).min)
         H, W = x.shape[-2], x.shape[-1]
         if p != (0, 0):
             pad = [(0, 0)] * (x.ndim - 2) + [(p[0], p[0]), (p[1], p[1])]
@@ -249,8 +249,6 @@ def max_pool2d(x, kernel_size, stride=None, padding=0):
                       dj:dj + (Wo - 1) * s[1] + 1:s[1]]
                 out = v if out is None else jnp.maximum(out, v)
         return out
-    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-           else jnp.iinfo(x.dtype).min)
     if POOL_SEPARABLE and k[0] > 1 and k[1] > 1:
         # exact: padding fills with the max-identity on both passes
         rows = lax.reduce_window(

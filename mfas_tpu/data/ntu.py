@@ -48,7 +48,7 @@ _BAD_SKEL_PATH = os.path.join(os.path.dirname(__file__), "bad_skel.txt")
 
 def load_video(path, vid_len=24, legacy_last_frame_zero=False):
     """Decode an AVI and keep vid_len evenly spaced frames
-    -> (vid_len, W, H, 3) float32 (BGR order, like cv2)."""
+    -> (vid_len, H, W, 3) float32 (BGR order, like cv2)."""
     try:
         import cv2
     except ImportError as e:  # pragma: no cover
@@ -61,7 +61,10 @@ def load_video(path, vid_len=24, legacy_last_frame_zero=False):
     width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
     height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
 
-    video = np.zeros((vid_len, width, height, 3), np.float32)
+    # cv2 frames are (H, W, 3) — buffer must match or any non-square
+    # source fails to broadcast (the avi_{dim}x{dim} dirs are square by
+    # convention, which hid the swap)
+    video = np.zeros((vid_len, height, width, 3), np.float32)
     if legacy_last_frame_zero:
         taken = set(np.linspace(0, num_frames, vid_len).astype(int).tolist())
     else:
@@ -212,6 +215,10 @@ class AugCrop:
 
 
 class Compose:
+    # speaks the per-sample-seeded protocol itself (forwards rng to the
+    # members that accept it), so datasets need no Compose special case
+    accepts_rng = True
+
     def __init__(self, transforms):
         self.transforms = transforms
 
@@ -252,6 +259,10 @@ class NTU:
             root_dir, "nturgbd_rgb/avi_{0}x{0}_{1}".format(vid_dim, vid_fr))
         basename_ske = os.path.join(root_dir, "nturgbd_skeletons")
 
+        # kept for reference API parity; frame RESAMPLING is the
+        # NormalizeLen transform's job (load_video always decodes its
+        # default evenly-spaced 24) — build the transform with the same
+        # vid_len, as every CLI does
         self.vid_len = vid_len
         self.transform = transform
         self.root_dir = root_dir
@@ -260,12 +271,31 @@ class NTU:
 
         rgb_files = sorted(os.listdir(basename_rgb))
         ske_files = sorted(os.listdir(basename_ske))
-        self.rgb_list = [os.path.join(basename_rgb, f) for f in rgb_files
-                         if f.split(".")[-1] == "avi" and int(f[9:12]) in subjects]
-        self.ske_list = [os.path.join(basename_ske, f) for f in ske_files
-                         if f.split(".")[-1] == "skeleton" and int(f[9:12]) in subjects]
-        self.labels = [int(f[17:20]) for f in rgb_files
-                       if f.split(".")[-1] == "avi" and int(f[9:12]) in subjects]
+        # pair by filename STEM, not by sorted position: the reference
+        # zips the two sorted listings (datasets/ntu.py), so one missing
+        # .skeleton (the official release omits the 302 bad_skel ids)
+        # silently cross-pairs every later video with the wrong skeleton.
+        # On aligned listings this is byte-identical to the positional
+        # pairing (both lists sort by the same stem prefix).
+        rgb_by_stem = {f[:20]: os.path.join(basename_rgb, f)
+                       for f in rgb_files
+                       if f.split(".")[-1] == "avi"
+                       and int(f[9:12]) in subjects}
+        ske_by_stem = {f[:20]: os.path.join(basename_ske, f)
+                       for f in ske_files
+                       if f.split(".")[-1] == "skeleton"
+                       and int(f[9:12]) in subjects}
+        stems = sorted(rgb_by_stem)
+        unpaired = [s for s in stems if s not in ske_by_stem]
+        if unpaired:
+            print(f"WARNING: {len(unpaired)} {stage} clips have no "
+                  f".skeleton pair (first: {unpaired[0]}) — dropped "
+                  "(pairing is by filename stem; the positional pairing "
+                  "the reference uses would silently cross-pair)")
+            stems = [s for s in stems if s in ske_by_stem]
+        self.rgb_list = [rgb_by_stem[s] for s in stems]
+        self.ske_list = [ske_by_stem[s] for s in stems]
+        self.labels = [int(s[17:20]) for s in stems]
 
         if args is not None and getattr(args, "no_bad_skel", False):
             for sid in load_bad_skeleton_ids():
@@ -313,8 +343,6 @@ class NTU:
         if self.transform:
             if rng is not None and getattr(self.transform, "accepts_rng",
                                            False):
-                sample = self.transform(sample, rng=rng)
-            elif rng is not None and isinstance(self.transform, Compose):
                 sample = self.transform(sample, rng=rng)
             else:
                 sample = self.transform(sample)

@@ -176,14 +176,17 @@ def make_device_normalize_prep(use_pallas=None):
         use_pallas = False
 
     def prep(batch):
+        import jax.numpy as _jnp
         batch = dict(batch)
         rgb = batch["rgb"]
-        if rgb.shape[-1] == 3:
+        # dtype gate (trace-safe): only raw uint8 clips get the affine —
+        # an already-normalized float batch (raw-AVI host path, or a prep
+        # applied twice) must pass through, not be re-normalized
+        if rgb.shape[-1] == 3 and rgb.dtype == _jnp.uint8:
             batch["rgb"] = u8_normalize(rgb, IMAGENET_MEAN, IMAGENET_STD,
                                         use_pallas=use_pallas)
         else:
-            # skeleton-only runs carry a dummy rgb placeholder — just cast
-            import jax.numpy as _jnp
+            # skeleton-only dummy placeholder or already-float clip: cast
             batch["rgb"] = rgb.astype(_jnp.float32)
         return batch
 

@@ -205,6 +205,10 @@ class NTUSearcher(ModelSearcher):
 
         dev_norm = bool(getattr(args, "device_input_normalize", False)
                         and getattr(args, "packed_datadir", ""))
+        if getattr(args, "device_input_normalize", False) and not dev_norm:
+            print("WARNING: --device_input_normalize needs "
+                  "--packed_datadir (tools/pack_ntu) — ignored; this run "
+                  "normalizes on the host")
         if getattr(args, "packed_datadir", ""):
             from mfas_tpu.data.ntu_pack import PackedNTU
             ds_train = PackedNTU(os.path.join(args.packed_datadir, "trainexp"),

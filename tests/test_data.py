@@ -120,6 +120,48 @@ def test_ntu_dataset_end_to_end(tmp_path):
     assert len(dev) == 1 and dev[0]["label"] == 1
 
 
+def test_ntu_pairs_by_stem_not_position(tmp_path, capsys):
+    """A video without a matching .skeleton must be DROPPED (with a
+    warning), not positionally cross-paired: the official skeleton
+    release omits 302 clips the RGB release has, and sorted-position
+    zipping (the reference's scheme) silently pairs every later video
+    with the wrong skeleton."""
+    cv2 = pytest.importorskip("cv2")
+    import types
+
+    rgb_dir = tmp_path / "nturgbd_rgb" / "avi_256x256_30"
+    ske_dir = tmp_path / "nturgbd_skeletons"
+    rgb_dir.mkdir(parents=True)
+    ske_dir.mkdir(parents=True)
+
+    # three train-subject clips; the FIRST one's skeleton is missing, so
+    # positional pairing would shift every later pair by one
+    names = ["S001C001P001R001A001", "S001C001P001R001A002",
+             "S001C001P001R001A003"]
+    for name in names:
+        vw = cv2.VideoWriter(str(rgb_dir / f"{name}_rgb.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 30, (32, 32))
+        for t in range(8):
+            vw.write(np.full((32, 32, 3), t * 10, np.uint8))
+        vw.release()
+    for name in names[1:]:                      # skeletons: A002, A003 only
+        lines = ["8"]
+        for _ in range(8):
+            lines += ["1", "pid 0 0 0 0 0 0 0 0 1", "25"]
+            lines += ["0.5 0.5 0.5 0 0 0 0 0 0 0 0 2"] * 25
+        (ske_dir / f"{name}.skeleton").write_text("\n".join(lines) + "\n")
+
+    args = types.SimpleNamespace(modality="both", no_norm=False,
+                                 no_bad_skel=False)
+    ds = dntu.NTU(str(tmp_path), transform=None, stage="train", args=args)
+    assert "no .skeleton pair" in capsys.readouterr().out
+    assert len(ds) == 2                          # A001 dropped, not shifted
+    assert sorted(ds.labels) == [2, 3]           # raw A-ids of the survivors
+    for r, s in zip(ds.rgb_list, ds.ske_list):   # stems really agree
+        import os as _os
+        assert _os.path.basename(r)[:20] == _os.path.basename(s)[:20]
+
+
 def test_avmnist_disk_roundtrip(tmp_path):
     make_synthetic_avmnist(str(tmp_path), n_train=16, n_test=8)
     arrays = load_avmnist_arrays(str(tmp_path), "train")
