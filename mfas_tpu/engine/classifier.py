@@ -55,7 +55,10 @@ def place_batch(batch, mesh, h2d_chunks=None):
     Under a mesh, host arrays go straight to their shards
     (device_put_global); a jnp.asarray hop first would stage the full
     batch on one device before resharding. ``h2d_chunks`` splits large
-    single-device transfers (data/loader.chunked_device_put experiment).
+    single-device transfers (data/loader.chunked_device_put experiment);
+    env ``MFAS_H2D_CHUNKS`` overrides it HERE, in the shared primitive,
+    so the knob reaches every engine (MMIMDBEngine/CifarEngine included),
+    not just the one whose constructor happens to read it.
 
     Values that are ALREADY device arrays (the HBM-resident store riding
     along in data/resident.py batches, placed once with its own
@@ -64,6 +67,10 @@ def place_batch(batch, mesh, h2d_chunks=None):
     a mesh only COMMITTED arrays skip (an uncommitted single-device array
     still needs its mesh placement); the store is committed by
     construction there (device_put_global with a NamedSharding)."""
+    env_chunks = os.environ.get("MFAS_H2D_CHUNKS")
+    if env_chunks:
+        h2d_chunks = int(env_chunks)
+
     def placed(x):
         if not isinstance(x, jax.Array):
             return False
@@ -113,9 +120,8 @@ class ClassifierEngine:
         self.adam_skip_disconnected = adam_skip_disconnected
         # h2d_chunks: split each batch's H2D transfer into N puts (see
         # data/loader.chunked_device_put); env MFAS_H2D_CHUNKS overrides
-        # so the experiment needs no code change at any call site
-        env_chunks = os.environ.get("MFAS_H2D_CHUNKS")
-        self.h2d_chunks = int(env_chunks) if env_chunks else h2d_chunks
+        # inside place_batch itself so it reaches every engine
+        self.h2d_chunks = h2d_chunks
         self._donate = bool(donate)
 
         self._train_step = jax.jit(

@@ -23,6 +23,15 @@ from mfas_tpu.engine.classifier import ClassifierEngine
 from mfas_tpu.fusion.layers import shared_weight_key
 from mfas_tpu.search.population import PopulationSpec, PopulationTrainer
 
+# Decorrelates the per-candidate training-step RNG stream from the
+# parameter-init stream: ``model.init(s)`` and ``Rng(s)`` inside
+# train_track_acc both split from PRNGKey(s), so with an equal seed the
+# k-th dropout/droppath key would REPLAY the k-th init key (JAX key
+# reuse; population.py offsets its two streams the same way). Large so
+# neither the +1-per-candidate counter nor train_track_acc's resume
+# offset (+epoch) can ever walk an init seed onto a training seed.
+TRAIN_SEED_OFFSET = 1_000_003
+
 
 # --------------------------------------------------------------------------
 # weight sharing (reference ntu_searchable.py:123-175)
@@ -86,6 +95,12 @@ class SequentialSearchTrainer:
         accs = []
         models = []
         for idx, configuration in enumerate(sampled_configurations):
+            # a non-empty return_model lists the ONLY indices to train
+            # (reference ntu_searchable.py:40 gates the whole body with
+            # `if not return_model or idx in return_model`); skipped
+            # candidates consume nothing — no seed, no training
+            if return_model and idx not in return_model:
+                continue
             model = searchable_type(args, configuration)
             self._seed += 1
             tree = model.init(self._seed)
@@ -107,7 +122,8 @@ class SequentialSearchTrainer:
                 args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
             best_acc, best_tree = engine.train_track_acc(
                 tree, model.central_params(), dataloaders, sizes, scheduler,
-                num_epochs=args.epochs, seed=self._seed,
+                num_epochs=args.epochs,
+                seed=self._seed + TRAIN_SEED_OFFSET,
                 print_loss=args.verbose)
 
             if args.weightsharing:
@@ -208,7 +224,8 @@ class CifarSearchTrainer:
                 args.eta_max, args.eta_min, args.Ti, args.Tm, nbpe)
             best_acc, best_tree = engine.train_track_acc(
                 tree, None, dataloaders, sizes, scheduler,
-                num_epochs=args.epochs, seed=self._seed,
+                num_epochs=args.epochs,
+                seed=self._seed + TRAIN_SEED_OFFSET,
                 print_loss=args.verbose)
             if args.weightsharing:
                 new_states = get_cifar_states(model, best_tree, state_dict)
